@@ -1,0 +1,312 @@
+"""The inference engine: fused prefill + single-program ensemble decode.
+
+This is the TPU-native replacement for the reference's hot path
+(SURVEY.md §3.1): per generated token the reference runs K+1 *sequential*
+HF Llama forwards plus two full-KV ``copy.deepcopy``s and Python mask loops
+(reference llava.py:292-361).  Here one decode step is ONE compiled XLA
+program that:
+
+  1. runs the unmasked forward of the current token against the canonical
+     KV cache (ensemble member axis M=1);
+  2. derives the overlap keep-set from the unmasked argmax and samples the
+     K members' dropout masks from the prefill-time epistemic uncertainty
+     (decoding/masks.py) — the masks are key-position masks over the cache,
+     never materialized as S^2 score masks;
+  3. runs all K masked members as ONE batched forward (member axis) that
+     *shares* the canonical cache read-only (ops/attention.
+     ensemble_decode_attention) — the winner-KV-carry equivalence proved in
+     SURVEY.md §7 makes this exactly the reference's deepcopy semantics;
+  4. aggregates by majority vote / logit averaging and scatters only the
+     winner's new-token K/V into the canonical cache.
+
+The whole generation loop is a ``lax.while_loop`` under jit: zero host
+round-trips from prompt to final token.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding.aggregate import select_by_average, select_by_vote
+from ..decoding.masks import build_member_drop_mask, overlap_keep_mask
+from ..models import llama as llama_mod
+from ..models import llava as llava_mod
+from ..models.llama import KVCache
+from ..ops.uncertainty import lowest_percent_kl_indices_mask, vision_uncertainty
+from ..utils.config import EnsembleConfig, GenerationConfig, LlavaConfig
+
+
+class PrefillState(NamedTuple):
+    cache: KVCache
+    cur_len: jax.Array  # [B] current cache fill (= merged prompt length)
+    first_token: jax.Array  # [B] greedy token from the prompt's last logits
+    epis: jax.Array  # [B, N] epistemic uncertainty per visual token
+    topk_ids: jax.Array  # [B, N, k] text-projection table
+    image_logits: jax.Array  # [B, N, V] visual-token logits (for epis_kl)
+    image_pos: jax.Array  # [B] start of the visual span
+    uncertainty: dict  # full uncertainty dict (diagnostics)
+
+
+class GenerationResult(NamedTuple):
+    tokens: np.ndarray  # [B, T] generated tokens (eos-padded)
+    num_tokens: np.ndarray  # [B]
+
+
+@dataclass
+class LlavaEngine:
+    """LLaVA-1.5 dropout-decoding engine.
+
+    Equivalent surface to the reference CustomLlavaForConditionalGeneration
+    + HF generate (llava.py:54, chair_test.py:341-346), exposed as
+    ``generate(input_ids, pixel_values)``.
+    """
+
+    cfg: LlavaConfig
+    params: llava_mod.LlavaParams
+    ens: EnsembleConfig = EnsembleConfig()
+    gen: GenerationConfig = GenerationConfig()
+    max_len: int = 1280
+    seed: int = 24
+    ensemble: bool = True  # False => plain greedy ("--original")
+    text_logits_mask: bool = False  # the "+ logit text-mask" variant
+    param_dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        self._prefill = jax.jit(self._prefill_impl)
+        self._decode = jax.jit(self._decode_loop_impl)
+
+    # ------------------------------------------------------------------
+    # prefill
+    # ------------------------------------------------------------------
+    def _prefill_impl(self, params, input_ids, pixel_values):
+        cfg = self.cfg
+        B, S_text = input_ids.shape
+        N = cfg.vision.num_patches
+        image_pos = llava_mod.find_image_pos(input_ids, cfg.image_token_index)
+
+        feats = llava_mod.image_features(cfg, params, pixel_values)  # [B,N,D]
+        text_embeds = llama_mod.embed(
+            params.lm, jnp.where(input_ids == cfg.image_token_index, 0, input_ids)
+        )
+        merged = llava_mod.merge_image_features(text_embeds, feats, image_pos)
+        S = merged.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        hidden, kv = llama_mod.prefill(params.lm, cfg.text, merged, positions)
+
+        # visual-span logits -> uncertainty + top-k projection table
+        # (reference llava.py:310-314, 390-410)
+        def span(h, p):
+            return jax.lax.dynamic_slice_in_dim(h, p, N, axis=0)
+
+        hidden_img = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
+        img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
+        uncert = vision_uncertainty(img_logits)
+        _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
+        last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])  # [B, V]
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+        cache = KVCache.empty(cfg.text, B, self.max_len, self.param_dtype)
+        cache = KVCache(
+            jax.lax.dynamic_update_slice_in_dim(cache.k, kv.k, 0, axis=2),
+            jax.lax.dynamic_update_slice_in_dim(cache.v, kv.v, 0, axis=2),
+        )
+        cur_len = jnp.full((B,), S, jnp.int32)
+        return PrefillState(
+            cache=cache,
+            cur_len=cur_len,
+            first_token=first_token,
+            epis=uncert["epis_uncert_per_token"],
+            topk_ids=topk_ids,
+            image_logits=img_logits,
+            image_pos=image_pos,
+            uncertainty=uncert,
+        )
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+    def _one_step(self, params, state, carry):
+        """One ensemble decode step.  carry = (cache, cur_len, token, step,
+        tokens_buf, done, text_prob_buf)."""
+        cfg, ens = self.cfg, self.ens
+        cache, cur_len, token, step, tokens_buf, done, text_prob_buf = carry
+        B = token.shape[0]
+        N = self.cfg.vision.num_patches
+        K = ens.k
+        Smax = self.max_len
+
+        x = llama_mod.embed(params.lm, token)  # [B, D]
+        base_mask = jnp.arange(Smax)[None, :] < cur_len[:, None]  # [B, Smax]
+
+        # --- phase 1: unmasked forward (reference llava.py:294-305) ---
+        h0, k0, v0 = llama_mod.decode_step(
+            params.lm, cfg.text, x[:, None], cur_len, cache, base_mask[:, None]
+        )
+        logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]  # [B, V]
+        argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
+
+        if not self.ensemble:
+            # plain greedy: the unmasked member IS the output; store its KV.
+            next_token = argmax0.astype(jnp.int32)
+            kw, vw = k0[:, :, 0], v0[:, :, 0]
+        else:
+            # --- phase 2: member masks (decoding/masks.py) ---
+            overlap = jax.vmap(overlap_keep_mask)(argmax0, state.topk_ids)  # [B,N]
+            kl_keep = None
+            if ens.mask_policy == "epis_kl":
+                kl_keep = jax.vmap(lowest_percent_kl_indices_mask)(
+                    state.image_logits, logits0
+                )
+
+            step_key = jax.random.fold_in(jax.random.key(self.seed), step)
+
+            def member_masks(b_key, epis_b, overlap_b, kl_b):
+                drops = []
+                prev = jnp.zeros((N,), bool)
+                for m, cap in enumerate(ens.voting_probs):
+                    mk = jax.random.fold_in(b_key, m)
+                    d = build_member_drop_mask(
+                        mk,
+                        ens.mask_policy,
+                        epis_b,
+                        cap,
+                        overlap_b,
+                        prev,
+                        ens.mask_accumulate,
+                        kl_keep=kl_b,
+                        floor=ens.prob_floor,
+                    )
+                    drops.append(d)
+                    prev = d
+                return jnp.stack(drops)  # [K, N]
+
+            b_keys = jax.vmap(lambda b: jax.random.fold_in(step_key, b))(
+                jnp.arange(B)
+            )
+            kl_arg = kl_keep if kl_keep is not None else jnp.zeros((B, N), bool)
+            drops = jax.vmap(member_masks)(b_keys, state.epis, overlap, kl_arg)
+
+            # place drops into cache-slot space: slot s is visual token
+            # s - image_pos when in [image_pos, image_pos + N)
+            slots = jnp.arange(Smax)[None, :]  # [1, Smax]
+            in_span = (slots >= state.image_pos[:, None]) & (
+                slots < state.image_pos[:, None] + N
+            )  # [B, Smax]
+            tok_idx = jnp.clip(slots - state.image_pos[:, None], 0, N - 1)
+            drop_slots = jnp.take_along_axis(drops, tok_idx[:, None, :], axis=2)
+            drop_slots = drop_slots & in_span[:, None, :]  # [B, K, Smax]
+
+            if self.text_logits_mask:
+                # "+ logit text-mask" variant (reference llava.py:548-557):
+                # mask generated-text positions with prob 1/max_logit of the
+                # step that emitted them; last 3 positions always attended.
+                gen_start = state.cur_len  # [B] prompt length
+                gidx = jnp.clip(slots - gen_start[:, None], 0, text_prob_buf.shape[1] - 1)
+                gprob = jnp.take_along_axis(text_prob_buf, gidx, axis=1)  # [B,Smax]
+                tkey = jax.random.fold_in(step_key, 7919)
+                tdrop = jax.random.uniform(tkey, (B, Smax)) < gprob
+                in_gen = (slots >= gen_start[:, None]) & (
+                    slots < cur_len[:, None] - 3
+                )
+                drop_slots = drop_slots | (tdrop & in_gen)[:, None, :]
+
+            member_mask = base_mask[:, None, :] & ~drop_slots  # [B, K, Smax]
+
+            # --- phase 3: batched masked members (one forward for all K) ---
+            xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
+            hk, kk, vk = llama_mod.decode_step(
+                params.lm, cfg.text, xk, cur_len, cache, member_mask
+            )
+            logits_k = llama_mod.lm_head(params.lm, hk)  # [B, K, V]
+
+            # --- phase 4: aggregate + winner-KV scatter ---
+            agg = select_by_average if ens.use_avg else select_by_vote
+            winner, next_token = jax.vmap(agg)(logits_k)
+            next_token = next_token.astype(jnp.int32)
+            # winner K/V: [L, B, K, KH, D] -> [L, B, KH, D]
+            kw = jnp.take_along_axis(
+                kk, winner[None, :, None, None, None], axis=2
+            )[:, :, 0]
+            vw = jnp.take_along_axis(
+                vk, winner[None, :, None, None, None], axis=2
+            )[:, :, 0]
+            winner_logits = jnp.take_along_axis(
+                logits_k, winner[:, None, None], axis=1
+            )[:, 0]
+            text_prob_buf = text_prob_buf.at[:, step].set(
+                1.0 / jnp.max(winner_logits, axis=-1)
+            )
+
+        cache = KVCache(
+            cache.k.at[:, jnp.arange(B), cur_len].set(kw),
+            cache.v.at[:, jnp.arange(B), cur_len].set(vw),
+        )
+
+        prev_done = done
+        next_token = jnp.where(prev_done, self.gen.pad_token_id, next_token)
+        tokens_buf = tokens_buf.at[:, step].set(next_token)
+        done = prev_done | (next_token == self.gen.eos_token_id)
+        return (
+            cache,
+            cur_len + jnp.where(prev_done, 0, 1),
+            next_token,
+            step + 1,
+            tokens_buf,
+            done,
+            text_prob_buf,
+        )
+
+    def _decode_loop_impl(self, params, state: PrefillState):
+        B = state.first_token.shape[0]
+        T = self.gen.max_new_tokens
+        tokens_buf = jnp.full((B, T), self.gen.pad_token_id, jnp.int32)
+        tokens_buf = tokens_buf.at[:, 0].set(state.first_token)
+        done = state.first_token == self.gen.eos_token_id
+        text_prob_buf = jnp.zeros((B, T), jnp.float32)
+
+        carry = (
+            state.cache,
+            state.cur_len,
+            state.first_token,
+            jnp.ones((), jnp.int32),  # step index into tokens_buf
+            tokens_buf,
+            done,
+            text_prob_buf,
+        )
+
+        def cond(c):
+            _, _, _, step, _, d, _ = c
+            return (step < T) & ~jnp.all(d)
+
+        def body(c):
+            return self._one_step(params, state, c)
+
+        carry = jax.lax.while_loop(cond, body, carry)
+        _, cur_len, _, steps, tokens_buf, done, _ = carry
+        return tokens_buf, steps
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def prefill(self, input_ids, pixel_values) -> PrefillState:
+        return self._prefill(
+            self.params, jnp.asarray(input_ids), jnp.asarray(pixel_values)
+        )
+
+    def generate(self, input_ids, pixel_values) -> GenerationResult:
+        state = self.prefill(input_ids, pixel_values)
+        tokens, steps = self._decode(self.params, state)
+        tokens = np.asarray(tokens)
+        eos = self.gen.eos_token_id
+        num = np.array(
+            [
+                (np.where(row == eos)[0][0] + 1) if (row == eos).any() else len(row)
+                for row in tokens
+            ]
+        )
+        return GenerationResult(tokens=tokens, num_tokens=num)

@@ -1,0 +1,252 @@
+"""Llama-family decoder (Llama-7B / Vicuna-7B / Mistral-7B) as pure
+functions over a parameter pytree.
+
+Design notes (TPU-first, not a torch translation):
+- Layers are *stacked* along a leading axis and iterated with ``lax.scan``:
+  one compiled layer body regardless of depth (32x less HLO than unrolled).
+- Two entry points:
+    * ``prefill``: full-sequence causal attention; returns hidden states and
+      the per-layer K/V to seed the canonical cache.
+    * ``decode_step``: one token for M ensemble members *sharing* the
+      canonical cache (see ops/attention.ensemble_decode_attention); returns
+      each member's logits and its own new-token K/V so the engine can
+      scatter only the winner's into the cache — the functional equivalent
+      of the reference carrying forward the vote winner's deepcopied cache
+      (reference llava.py:343,361,370-376).
+- Weights live in bf16 (param_dtype), activations bf16, softmax/norm
+  accumulation fp32, logits fp32 (HF casts logits to float as well).
+- Mistral's 4096-token sliding window never binds at LLaVA sequence lengths
+  (<= ~3.5k but window == max_position) and is intentionally not modeled.
+
+HF weight mapping in ``params_from_hf``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import ensemble_decode_attention, prefill_attention
+from ..ops.basic import apply_rope, rms_norm, rotary_embedding
+from ..utils.config import LlamaConfig
+
+
+class KVCache(NamedTuple):
+    """Canonical cache: [L, B, Smax, KH, D] each."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def empty(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (
+            cfg.num_hidden_layers,
+            batch,
+            max_len,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random init (for tests and benchmarks with synthetic weights)."""
+    ks = jax.random.split(key, 12)
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KH, Dh, L = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+
+    def nrm(k, shape, scale=0.02):
+        return (scale * jax.random.normal(k, shape, jnp.float32)).astype(dtype)
+
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "post_attn_ln": jnp.ones((L, D), dtype),
+        "q_proj": nrm(ks[0], (L, D, H * Dh)),
+        "k_proj": nrm(ks[1], (L, D, KH * Dh)),
+        "v_proj": nrm(ks[2], (L, D, KH * Dh)),
+        "o_proj": nrm(ks[3], (L, H * Dh, D)),
+        "gate_proj": nrm(ks[4], (L, D, I)),
+        "up_proj": nrm(ks[5], (L, D, I)),
+        "down_proj": nrm(ks[6], (L, I, D)),
+    }
+    return {
+        "embed_tokens": nrm(ks[7], (V, D)),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "lm_head": nrm(ks[8], (D, V)),
+    }
+
+
+def params_from_hf(cfg: LlamaConfig, sd: dict, dtype=jnp.bfloat16, prefix="") -> dict:
+    """Convert an HF LlamaForCausalLM state dict (name -> numpy array).
+
+    ``sd`` values may be torch tensors or numpy arrays; torch [out, in]
+    linear layouts are transposed to [in, out] for x @ W.
+    """
+
+    def g(name):
+        t = sd[prefix + name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t)
+
+    def lin(name):
+        return np.transpose(g(name))  # [out,in] -> [in,out]
+
+    L = cfg.num_hidden_layers
+    layers = {
+        "input_ln": np.stack(
+            [g(f"model.layers.{i}.input_layernorm.weight") for i in range(L)]
+        ),
+        "post_attn_ln": np.stack(
+            [g(f"model.layers.{i}.post_attention_layernorm.weight") for i in range(L)]
+        ),
+        "q_proj": np.stack(
+            [lin(f"model.layers.{i}.self_attn.q_proj.weight") for i in range(L)]
+        ),
+        "k_proj": np.stack(
+            [lin(f"model.layers.{i}.self_attn.k_proj.weight") for i in range(L)]
+        ),
+        "v_proj": np.stack(
+            [lin(f"model.layers.{i}.self_attn.v_proj.weight") for i in range(L)]
+        ),
+        "o_proj": np.stack(
+            [lin(f"model.layers.{i}.self_attn.o_proj.weight") for i in range(L)]
+        ),
+        "gate_proj": np.stack(
+            [lin(f"model.layers.{i}.mlp.gate_proj.weight") for i in range(L)]
+        ),
+        "up_proj": np.stack(
+            [lin(f"model.layers.{i}.mlp.up_proj.weight") for i in range(L)]
+        ),
+        "down_proj": np.stack(
+            [lin(f"model.layers.{i}.mlp.down_proj.weight") for i in range(L)]
+        ),
+    }
+    embed = g("model.embed_tokens.weight")
+    if prefix + "lm_head.weight" in sd:
+        lm_head = lin("lm_head.weight")
+    else:  # tied embeddings
+        lm_head = np.transpose(embed)
+    params = {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": g("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def embed(params: dict, input_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][input_ids]
+
+
+def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
+    """fp32 logits (HF casts logits to float)."""
+    w = params["lm_head"].astype(jnp.float32)
+    return jnp.einsum(
+        "...d,dv->...v", hidden.astype(jnp.float32), w, preferred_element_type=jnp.float32
+    )
+
+
+def _mlp(lp: dict, x: jax.Array) -> jax.Array:
+    gate = jnp.einsum("...d,di->...i", x, lp["gate_proj"])
+    up = jnp.einsum("...d,di->...i", x, lp["up_proj"])
+    return jnp.einsum("...i,id->...d", jax.nn.silu(gate) * up, lp["down_proj"])
+
+
+def prefill(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    key_mask: jax.Array | None = None,
+):
+    """Full-sequence causal forward.
+
+    Args:
+      inputs_embeds: [B, S, D] merged (visual + text) embeddings.
+      positions: [B, S] rope positions.
+      key_mask: optional [B, S] padding mask (1 = real token).
+    Returns:
+      (hidden [B, S, D] final-norm output, KVCache with [L, B, S, KH, Dh]).
+    """
+    B, S, D = inputs_embeds.shape
+    H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)  # [B, S, Dh]
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]  # broadcast over heads
+
+    def layer(x, lp):
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q = jnp.einsum("bsd,de->bse", h, lp["q_proj"]).reshape(B, S, H, Dh)
+        k = jnp.einsum("bsd,de->bse", h, lp["k_proj"]).reshape(B, S, KH, Dh)
+        v = jnp.einsum("bsd,de->bse", h, lp["v_proj"]).reshape(B, S, KH, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = prefill_attention(q, k, v, causal=True, key_mask=key_mask)
+        attn = jnp.einsum("bshe->bshe", attn).reshape(B, S, H * Dh)
+        x = x + jnp.einsum("bse,ed->bsd", attn, lp["o_proj"])
+        h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, h2)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(
+        lambda carry, lp: layer(carry, lp), inputs_embeds, params["layers"]
+    )
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, KVCache(ks, vs)
+
+
+def decode_step(
+    params: dict,
+    cfg: LlamaConfig,
+    x: jax.Array,
+    position: jax.Array,
+    cache: KVCache,
+    key_mask: jax.Array,
+):
+    """One-token forward for M ensemble members sharing the canonical cache.
+
+    Args:
+      x: [B, M, D] current-token embeddings (same token replicated across
+        members — they differ only in attention mask, reference
+        llava.py:340-359).
+      position: [B] rope position of the current token.
+      cache: canonical KVCache ([L, B, Smax, KH, Dh]).
+      key_mask: [B, M, Smax] per-member cache-slot mask (0 = dropped visual
+        token or beyond current length).
+    Returns:
+      (hidden [B, M, D], k_new [L, B, M, KH, Dh], v_new [L, B, M, KH, Dh])
+    """
+    B, M, D = x.shape
+    H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = rotary_embedding(position, Dh, cfg.rope_theta)  # [B, Dh]
+    cos, sin = cos[:, None, None, :], sin[:, None, None, :]  # [B,1,1,Dh]
+
+    def layer(xc, scanned):
+        lp, kc, vc = scanned
+        h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
+        q = jnp.einsum("bmd,de->bme", h, lp["q_proj"]).reshape(B, M, H, Dh)
+        k = jnp.einsum("bmd,de->bme", h, lp["k_proj"]).reshape(B, M, KH, Dh)
+        v = jnp.einsum("bmd,de->bme", h, lp["v_proj"]).reshape(B, M, KH, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = ensemble_decode_attention(q, kc, vc, k, v, key_mask)
+        attn = attn.reshape(B, M, H * Dh)
+        xc = xc + jnp.einsum("bme,ed->bmd", attn, lp["o_proj"])
+        h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)
+        xc = xc + _mlp(lp, h2)
+        return xc, (k, v)
+
+    xf, (k_new, v_new) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v)
+    )
+    hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
+    return hidden, k_new, v_new

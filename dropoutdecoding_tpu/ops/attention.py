@@ -1,0 +1,131 @@
+"""Attention ops for prefill and ensemble decode.
+
+Two shapes of the same computation:
+
+- ``prefill_attention``: causal self-attention over the merged
+  (visual + text) sequence.  Dense scores; XLA fuses the softmax chain.
+  Sequence lengths are <= ~3k (LLaVA-NeXT multi-tile), so an S^2 score
+  tile per head is fine on-chip; a Pallas blockwise variant lives in
+  ops/pallas_attention.py for the long-sequence path.
+
+- ``ensemble_decode_attention``: THE core TPU trick (SURVEY.md §7).  The
+  reference runs K+1 sequential torch forwards per generated token, each on
+  a ``copy.deepcopy`` of the whole KV cache (reference llava.py:292,343).
+  Here all members read the *same* canonical cache (read-only prefix) and
+  carry only their own current-token K/V separately, so the ensemble is one
+  batched matvec against the cache — zero cache copies.  Per-member
+  visual-token dropout enters as a key-position mask over cache slots.
+
+All softmax accumulation in fp32.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large-negative in fp32; avoids NaN from (-inf) - (-inf)
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[..., S, KH, D] -> [..., S, KH*n_rep, D] (GQA head expansion)."""
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=-2)
+
+
+def prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    key_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Dense multi-head attention.
+
+    Args:
+      q: [B, S, H, D]
+      k, v: [B, S, KH, D] (KH divides H)
+      key_mask: optional [B, S] (1 = attend) padding/dropout mask over keys.
+    Returns:
+      [B, S, H, D]
+    """
+    B, S, H, D = q.shape
+    KH = k.shape[2]
+    k = repeat_kv(k, H // KH)
+    v = repeat_kv(v, H // KH)
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    scores = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    if causal:
+        qi = jnp.arange(S)[:, None]
+        ki = jnp.arange(S)[None, :]
+        scores = jnp.where((ki <= qi)[None, None], scores, _NEG_INF)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :].astype(bool), scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def ensemble_decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    key_mask: jax.Array,
+) -> jax.Array:
+    """Single-token decode attention for M ensemble members sharing one cache.
+
+    Member m's context = cache slots where key_mask[b, m, s] = 1, plus its
+    own current token (always attended, mirroring the reference where the
+    new token's position is beyond the image span and the generate loop's
+    mask extends with ones).
+
+    Args:
+      q: [B, M, H, D] current-token queries per member.
+      k_cache, v_cache: [B, Smax, KH, D] canonical cache (shared, read-only).
+      k_new, v_new: [B, M, KH, D] members' own current-token K/V.
+      key_mask: [B, M, Smax] 1 = attend to that cache slot (0 beyond
+        cache_len and at dropped visual tokens).
+    Returns:
+      [B, M, H, D] attention outputs.
+    """
+    B, M, H, D = q.shape
+    KH = k_cache.shape[2]
+    n_rep = H // KH
+    kc = repeat_kv(k_cache, n_rep)  # [B, S, H, D]
+    vc = repeat_kv(v_cache, n_rep)
+    kn = repeat_kv(k_new, n_rep)  # [B, M, H, D]
+    vn = repeat_kv(v_new, n_rep)
+
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    # Scores against the shared cache: batched over members.
+    cache_scores = (
+        jnp.einsum("bmhd,bshd->bmhs", q, kc, preferred_element_type=jnp.float32)
+        * scale
+    )  # [B, M, H, S]
+    cache_scores = jnp.where(
+        key_mask[:, :, None, :].astype(bool), cache_scores, _NEG_INF
+    )
+    # Score against the member's own new token (always attended).
+    self_scores = (
+        jnp.einsum("bmhd,bmhd->bmh", q, kn, preferred_element_type=jnp.float32)
+        * scale
+    )[..., None]  # [B, M, H, 1]
+
+    all_scores = jnp.concatenate([cache_scores, self_scores], axis=-1)
+    probs = jax.nn.softmax(all_scores, axis=-1)
+    cache_probs = probs[..., :-1].astype(vc.dtype)
+    self_probs = probs[..., -1:].astype(vn.dtype)
+
+    out = jnp.einsum(
+        "bmhs,bshd->bmhd", cache_probs, vc, preferred_element_type=jnp.float32
+    )
+    out = out + self_probs * vn.astype(jnp.float32)
+    return out.astype(q.dtype)
