@@ -1,0 +1,106 @@
+"""COCOEvalCap-equivalent evaluator producing the {overall, imgToEval}
+self-critical format the CHAIR pipeline consumes (reference
+chair_test.py:394-441).
+
+Replicates the reference's 100-caption chunked scoring — including its
+side effect of depressing CIDEr (the IDF corpus shrinks to the chunk;
+SURVEY.md §6 'CIDEr ~ 0 artifact') — so result files remain comparable
+with the archived results/ tree.  SPICE requires the Java SPICE jar; it is
+reported as 0.0 with a note (gated, see ``SPICE_AVAILABLE``).
+"""
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import numpy as np
+
+from .bleu import bleu_scores
+from .cider import CiderScorer
+from .meteor import meteor_lite
+from .rouge import rouge_l
+
+SPICE_AVAILABLE = False
+
+_PUNCT = re.compile(
+    r"[\"'`!?,;:\.\-\(\)\[\]\{\}]|''|``|--"
+)
+
+
+def ptb_tokenize(caption: str) -> str:
+    """PTB-style tokenization as done by pycocoevalcap's PTBTokenizer:
+    lowercase, strip punctuation, collapse whitespace."""
+    cap = caption.lower()
+    cap = _PUNCT.sub(" ", cap)
+    return " ".join(cap.split())
+
+
+class CocoCaptionEvaluator:
+    """Evaluate generated captions against a Coco caption index."""
+
+    def __init__(self, coco, coco_res):
+        self.coco = coco
+        self.coco_res = coco_res
+        self.params = {"image_id": coco_res.getImgIds()}
+        self.eval = {}
+        self.evalImgs = []
+
+    def evaluate(self):
+        ids = self.params["image_id"]
+        hyps = {}
+        refs = {}
+        for iid in ids:
+            hyps[iid] = [ptb_tokenize(self.coco_res.imgToAnns[iid][0]["caption"])]
+            refs[iid] = [ptb_tokenize(a["caption"]) for a in self.coco.imgToAnns[iid]]
+
+        bleu_corpus, bleu_img = bleu_scores(hyps, refs)
+        cider_corpus, cider_img = CiderScorer().compute(hyps, refs)
+        rouge_corpus, rouge_img = rouge_l(hyps, refs)
+        meteor_corpus, meteor_img = meteor_lite(hyps, refs)
+
+        self.eval = {
+            "Bleu_1": bleu_corpus[0],
+            "Bleu_2": bleu_corpus[1],
+            "Bleu_3": bleu_corpus[2],
+            "Bleu_4": bleu_corpus[3],
+            "METEOR": meteor_corpus,
+            "ROUGE_L": rouge_corpus,
+            "CIDEr": cider_corpus,
+            "SPICE": 0.0,
+        }
+        self.evalImgs = [
+            {
+                "image_id": iid,
+                "Bleu_1": bleu_img[iid][0],
+                "Bleu_2": bleu_img[iid][1],
+                "Bleu_3": bleu_img[iid][2],
+                "Bleu_4": bleu_img[iid][3],
+                "METEOR": meteor_img[iid],
+                "ROUGE_L": rouge_img[iid],
+                "CIDEr": cider_img[iid],
+                "SPICE": 0.0,
+            }
+            for iid in ids
+        ]
+
+
+def chunked_self_critical_eval(coco, loaded_json: list, chunk: int = 100) -> dict:
+    """The reference's chunked evaluation loop (chair_test.py:402-441):
+    score `chunk` captions at a time, mean the chunk-level overall scores,
+    and collect per-image dicts (caption attached)."""
+    all_overall = defaultdict(list)
+    img_to_eval = {}
+    for start in range(0, len(loaded_json), chunk):
+        part = loaded_json[start : start + chunk]
+        coco_res = coco.loadRes(part)
+        ev = CocoCaptionEvaluator(coco, coco_res)
+        ev.params["image_id"] = coco_res.getImgIds()
+        ev.evaluate()
+        for metric, score in ev.eval.items():
+            all_overall[metric].append(score)
+        for i, iid in enumerate(coco_res.getImgIds()):
+            rec = dict(ev.evalImgs[i])
+            rec["caption"] = coco_res.imgToAnns[iid][0]["caption"]
+            img_to_eval[iid] = rec
+    overall = {m: float(np.mean(s)) for m, s in all_overall.items()}
+    return {"overall": overall, "imgToEval": img_to_eval}

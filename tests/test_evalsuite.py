@@ -1,0 +1,207 @@
+"""Eval-suite tests: CHAIR word pipeline golden cases, POPE scorer vs the
+reference's frozen data files, metric sanity."""
+import json
+import os
+
+import pytest
+
+from dropoutdecoding_tpu.evalsuite.chair import ChairEvaluator, metric_table
+from dropoutdecoding_tpu.evalsuite.coco import Coco
+from dropoutdecoding_tpu.evalsuite.metrics.evalcap import (
+    chunked_self_critical_eval,
+    ptb_tokenize,
+)
+from dropoutdecoding_tpu.evalsuite.pope import (
+    build_questions,
+    normalize_answer,
+    parse_question_file,
+    score_answers,
+)
+from dropoutdecoding_tpu.evalsuite.text import singularize, word_tokenize
+
+REF = "/root/reference"
+
+
+# --- text pipeline -----------------------------------------------------------
+
+def test_singularize_coco_vocab():
+    cases = {
+        "dogs": "dog", "people": "person", "men": "man", "women": "woman",
+        "children": "child", "benches": "bench", "knives": "knife",
+        "buses": "bus", "skis": "ski", "sheep": "sheep", "couches": "couch",
+        "sandwiches": "sandwich", "glasses": "glasses", "scissors": "scissors",
+        "pizzas": "pizza", "giraffes": "giraffe", "bananas": "banana",
+        "oranges": "orange", "cars": "car", "is": "is", "this": "this",
+        "boxes": "box", "wolves": "wolf", "vases": "vase",
+    }
+    for plural, singular in cases.items():
+        assert singularize(plural) == singular, plural
+
+
+def test_tokenize_basic():
+    toks = word_tokenize("A man riding a horse. He smiles!")
+    assert "man" in toks and "horse" in toks and "." in toks
+
+
+# --- CHAIR -------------------------------------------------------------------
+
+def _tiny_evaluator(imids):
+    ev = ChairEvaluator(imids)
+    instances = {
+        "categories": [{"id": 1, "name": "dog"}, {"id": 2, "name": "frisbee"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1},
+            {"image_id": 1, "category_id": 2},
+            {"image_id": 2, "category_id": 1},
+        ],
+    }
+    ev.add_annotations_from_instances(instances)
+    captions = {
+        "annotations": [
+            {"image_id": 1, "caption": "a dog catching a frisbee"},
+            {"image_id": 2, "caption": "two dogs playing in the park"},
+        ]
+    }
+    ev.add_annotations_from_captions(captions)
+    return ev
+
+
+def test_caption_to_words_pipeline():
+    ev = _tiny_evaluator([1, 2])
+    words, nodes, idxs, raw = ev.caption_to_words(
+        "A baby dog chases a hot dog near the stop sign."
+    )
+    # 'baby dog' -> dog; 'hot dog' single object; 'stop sign' single object
+    assert nodes == ["dog", "hot dog", "stop sign"]
+
+
+def test_caption_to_words_toilet_seat():
+    ev = _tiny_evaluator([1])
+    _, nodes, _, _ = ev.caption_to_words("the seat of the toilet is up")
+    assert "chair" not in nodes and "toilet" in nodes
+
+
+def test_chair_scores():
+    ev = _tiny_evaluator([1, 2])
+    caps = [
+        {"image_id": 1, "caption": "a dog with a frisbee"},  # clean
+        {"image_id": 2, "caption": "a dog next to a cat"},  # cat hallucinated
+    ]
+    out = ev.compute(caps)
+    m = out["overall_metrics"]
+    assert m["CHAIRs"] == 0.5  # 1 of 2 captions hallucinate
+    assert m["CHAIRi"] == 0.25  # 1 of 4 object mentions
+    s = out["sentences"][1]
+    assert s["mscoco_hallucinated_words"] == [("cat", "cat")]
+    table = metric_table(out)
+    assert table.splitlines()[0] == "SPICE\tMETEOR\tCIDEr\tCHAIRs\tCHAIRi"
+    assert table.splitlines()[1].split("\t")[3] == "50.0"
+
+
+def test_synonym_canonicalization():
+    ev = _tiny_evaluator([1])
+    _, nodes, _, _ = ev.caption_to_words("a puppy and a kitten on a sofa")
+    assert nodes == ["dog", "cat", "couch"]
+
+
+# --- caption metrics ---------------------------------------------------------
+
+def test_self_critical_format():
+    dataset = {
+        "images": [{"id": 1, "file_name": "a.jpg"}, {"id": 2, "file_name": "b.jpg"}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "caption": "a dog runs in the park"},
+            {"id": 11, "image_id": 1, "caption": "a brown dog running"},
+            {"id": 12, "image_id": 2, "caption": "a cat sits on a mat"},
+        ],
+    }
+    coco = Coco(dataset=dataset)
+    res = [
+        {"image_id": 1, "caption": "a dog runs in the park"},
+        {"image_id": 2, "caption": "a dog on a mat"},
+    ]
+    out = chunked_self_critical_eval(coco, res)
+    assert set(out.keys()) == {"overall", "imgToEval"}
+    assert out["imgToEval"][1]["Bleu_1"] == pytest.approx(1.0)
+    assert out["imgToEval"][1]["CIDEr"] > out["imgToEval"][2]["CIDEr"]
+    for key in ("Bleu_4", "METEOR", "CIDEr", "SPICE", "ROUGE_L"):
+        assert key in out["overall"]
+        assert key in out["imgToEval"][1]
+
+
+def test_ptb_tokenize():
+    assert ptb_tokenize("A man, riding; a horse.") == "a man riding a horse"
+
+
+# --- POPE --------------------------------------------------------------------
+
+def test_normalize_answer():
+    assert normalize_answer("No, there is not.") == "no"
+    assert normalize_answer("Yes") == "yes"
+    assert normalize_answer("There is not a dog. Yes there is.") == "no"
+    assert normalize_answer("Nothing") == "yes"  # word-level match only
+
+
+def test_build_questions_strategies():
+    segs = [
+        {"image": "a.jpg", "objects": ["dog", "frisbee", "person"]},
+        {"image": "b.jpg", "objects": ["cat", "dog", "chair"]},
+        {"image": "c.jpg", "objects": ["car", "person", "dog"]},
+    ]
+    for strategy in ("random", "popular", "adversarial"):
+        qs = build_questions(segs, sample_num=3, neg_strategy=strategy, seed=0)
+        assert len(qs) == 18  # 3 images x 3 objects x (pos + neg)
+        labels = [q["label"] for q in qs]
+        assert labels[::2] == ["yes"] * 9 and labels[1::2] == ["no"] * 9
+        for q in qs:
+            assert q["text"].startswith("Is there a") and q["text"].endswith(
+                "in the image?"
+            )
+            if q["label"] == "no":
+                img = next(s for s in segs if s["image"] == q["image"])
+                obj = q["text"].replace("Is there an ", "").replace(
+                    "Is there a ", ""
+                ).replace(" in the image?", "")
+                assert obj not in img["objects"]
+
+
+def test_score_answers_confusion():
+    answers = [
+        {"question": "q", "answer": "Yes"},
+        {"question": "q", "answer": "No"},
+        {"question": "q", "answer": "Yes"},
+        {"question": "q", "answer": "There is no dog"},
+    ]
+    labels = ["yes", "no", "no", "yes"]
+    s = score_answers(answers, labels)
+    assert (s["TP"], s["TN"], s["FP"], s["FN"]) == (1, 1, 1, 1)
+    assert s["accuracy"] == 0.5 and s["yes_ratio"] == 0.5
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_score_reference_answer_files():
+    """Score one of the reference's archived answer files against its frozen
+    question set; sanity-check plausible accuracy (parity tier —
+    reference pope_metric/answer/ + output/coco/)."""
+    qfile = os.path.join(
+        REF, "pope_test/pope_metric/output/coco/coco_pope_adversarial.json"
+    )
+    afile_dir = os.path.join(REF, "pope_test/pope_metric/answer")
+    afiles = sorted(os.listdir(afile_dir))
+    if not os.path.exists(qfile) or not afiles:
+        pytest.skip("reference data incomplete")
+    questions = parse_question_file(qfile)
+    answers = []
+    for name in afiles:  # first non-empty archive
+        with open(os.path.join(afile_dir, name)) as f:
+            answers = [json.loads(l) for l in f if l.strip()]
+        if answers:
+            break
+    if not answers:
+        pytest.skip("no non-empty archived answers")
+    # NOTE: the archived answer files don't record which question snapshot
+    # produced them, so only structural scoring consistency is asserted.
+    n = min(len(questions), len(answers))
+    s = score_answers(answers[:n], [q["label"] for q in questions[:n]])
+    assert s["TP"] + s["TN"] + s["FP"] + s["FN"] == n
+    assert 0.0 <= s["accuracy"] <= 1.0 and 0.0 <= s["f1"] <= 1.0
