@@ -1,0 +1,274 @@
+"""CHAIR captioning harness — flag-compatible with the reference CLI
+(reference chair_test/chair_test.py:463-482; same prompts, sampling
+persistence, JSONL output, chunked eval, results/ tree).
+
+Usage:
+  python -m dropoutdecoding_tpu.cli.chair_test \
+      --method mymethod --coco-data-dir /data/coco \
+      --model-path /ckpts/llava-1.5-7b-hf --model llava-1.5
+
+Flag notes preserved from the reference: ``--original``-style flags are
+argparse ``type=bool`` there, so ANY non-empty string is truthy
+(chair_test.py:468); we accept true/false strings properly but '--original
+True' keeps meaning True.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+from random import sample, seed
+
+from ..evalsuite.chair import ChairEvaluator, load_generated_captions, metric_table
+from ..evalsuite.coco import load_coco_data
+from ..evalsuite.metrics.evalcap import chunked_self_critical_eval
+from ..utils.config import EnsembleConfig, GenerationConfig
+
+PROMPTS = {
+    "llava-1.5": "USER: <image>\nDescribe the image. ASSISTANT:",
+    "instructblip": "Describe the image.",
+    "llava-next": "[INST] <image>\nDescribe the image. [/INST]",
+}
+
+ANSWER_SPLIT = {
+    "llava-1.5": "ASSISTANT:",
+    "instructblip": None,
+    "llava-next": "[/INST]",
+}
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() not in ("false", "0", "no", "none", "")
+
+
+def build_ensemble_config(args, model: str) -> EnsembleConfig:
+    """CLI flags -> EnsembleConfig (reference chair_test.py:163-175 mutating
+    the settings dict)."""
+    probs = EnsembleConfig.voting_probs_for(args.voting_numbers)
+    if model == "llava-1.5":
+        policy, accumulate, topk = "epis", True, 5
+    elif model == "instructblip":
+        policy, accumulate, topk = "epis_quantile", False, 10
+    else:  # llava-next
+        policy, accumulate, topk = "epis", False, 10
+    use_random = str2bool(args.use_random)
+    if use_random:
+        # reference: llava-next switches to epis_no_overlap
+        # (llavanext.py:547-551); the ablation for llava-1.5 is the
+        # uncertainty-free random mask ('notext_sample' runs, SURVEY.md §6)
+        policy = "epis_no_overlap" if model == "llava-next" else "random_image"
+    return EnsembleConfig(
+        voting_probs=probs,
+        use_avg=str2bool(args.avg),
+        use_random=use_random,
+        mask_policy=policy,
+        mask_accumulate=accumulate,
+        topk=topk,
+    )
+
+
+def make_engine(args):
+    import jax.numpy as jnp
+
+    from ..models import llava as llava_mod
+    from ..engine.generate import LlavaEngine
+    from ..utils.processor import VlmProcessor
+
+    model = args.model
+    if str2bool(args.opera):
+        raise SystemExit(
+            "OPERA decoding requires the external OPERA-patched minigpt4 "
+            "package, which the reference also does not vendor "
+            "(reference chair_test.py:306-323, test_opera.py:16-21). "
+            "Run with --original/--vcd or the default dropout decoding."
+        )
+    if model != "llava-1.5":
+        raise SystemExit(
+            f"model {model!r} is not wired into this CLI yet; "
+            "llava-1.5 is the supported path this round"
+        )
+    cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+    processor = VlmProcessor.from_checkpoint(args.model_path)
+    eos = processor.tokenizer.eos_token_id
+
+    num_beams = args.num_beams if args.num_beams is not None else 1
+    gen = GenerationConfig(
+        max_new_tokens=512,
+        eos_token_id=eos,
+        pad_token_id=eos,
+        num_beams=num_beams,
+        use_cd=str2bool(args.vcd),
+    )
+    engine = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=build_ensemble_config(args, model),
+        gen=gen,
+        max_len=cfg.vision.num_patches + 64 + 512,
+        ensemble=not (str2bool(args.original) or str2bool(args.vcd)),
+        seed=args.seed if args.seed is not None else 24,
+    )
+    return engine, processor
+
+
+def chair_eval(
+    chair_input_path,
+    model_type,
+    num_images,
+    output_dir,
+    dataset_name,
+    data_dir,
+    metric,
+    verbosity=False,
+):
+    """Post-pass CHAIR scoring + results tree (reference
+    chair_test.py:55-158; same directory layout and file naming)."""
+    model_name = "llava"
+    out_dir = os.path.join(output_dir, metric, f"{model_name}_{model_type}", dataset_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    caps, imids, overall = load_generated_captions(chair_input_path)
+    evaluator = ChairEvaluator(imids)
+    evaluator.load_annotations(os.path.join(data_dir, "annotations"))
+    cap_dict = evaluator.compute(caps, overall)
+
+    stem = f"{model_name}_{model_type}_{dataset_name}_num_images_{num_images}_chair_results"
+    with open(os.path.join(out_dir, stem + ".json"), "w") as f:
+        json.dump(cap_dict, f, indent=4)
+    table = metric_table(cap_dict)
+    print(table)
+    with open(os.path.join(out_dir, stem + ".txt"), "w") as f:
+        f.write(table)
+    if verbosity:
+        print(f"\nCHAIR results saved to {os.path.join(out_dir, stem + '.txt')}.")
+
+    # aggregate per-image summary (reference chair_test.py:106-158)
+    import numpy as np
+
+    per_img = cap_dict["sentences"]
+    n = max(len(per_img), 1)
+    meteor = sum(s["metrics"]["METEOR"] for s in per_img) / n
+    log_cider = sum(
+        max(np.log10(max(s["metrics"]["CIDEr"], 1e-20)) + 20, 0) for s in per_img
+    ) / n
+    chairs = sum(s["metrics"]["CHAIRs"] for s in per_img) / n
+    objects = sum(len(s["mscoco_generated_words"]) for s in per_img)
+    halluc = sum(len(s["hallucination_idxs"]) for s in per_img)
+    bleu = sum(
+        (s["metrics"]["Bleu_1"] + s["metrics"]["Bleu_2"] + s["metrics"]["Bleu_3"] + s["metrics"]["Bleu_4"]) / 4
+        for s in per_img
+    ) / n
+    print("meteor: ", meteor)
+    print("log_cider: ", log_cider)
+    print("chairs: ", chairs)
+    print("chairi: ", halluc / max(objects, 1))
+    print("bleu: ", bleu)
+    print("hallucinate_sum: ", halluc)
+
+
+def main(args):
+    from PIL import Image
+
+    engine, processor = make_engine(args)
+    model = args.model
+
+    coco, coco_anns = load_coco_data(args.coco_data_dir)
+    img_ids = coco.getImgIds()
+
+    # --- sample persistence (reference chair_test.py:218-243) ---
+    if args.use_prev_sample is not None:
+        with open(args.sample_save_name) as f:
+            sampled = [int(line.strip()) for line in f]
+        print(f"Loaded {len(sampled)} image IDs from {args.sample_save_name}")
+    else:
+        if args.seed is not None:
+            seed(args.seed)
+        sampled = sample(img_ids, args.image_numbers)
+        with open(args.sample_save_name, "w") as f:
+            f.writelines(f"{i}\n" for i in sampled)
+        print(f"Sampled {args.image_numbers} image IDs -> {args.sample_save_name}")
+
+    img_files = [coco.loadImgs(i)[0]["file_name"] for i in sampled]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    filename = args.method + datetime.now().strftime("%m%d%H%M") + ".json"
+    captions_path = os.path.join(args.output_dir, filename)
+
+    from tqdm import tqdm
+
+    for img_file in tqdm(img_files):
+        img_id = int(img_file.split(".jpg")[0][-6:])
+        image = Image.open(
+            os.path.join(args.coco_data_dir, "val2014", img_file)
+        ).convert("RGB")
+        inputs = processor(PROMPTS[model], image)
+        result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
+        text = processor.decode(result.tokens[0][: result.num_tokens[0]])
+        split = ANSWER_SPLIT[model]
+        if split and split in text:
+            text = text.split(split, 1)[-1]
+        text = text.strip()
+        # drop sentences containing 'unk' (reference chair_test.py:356-361)
+        text = ".".join(s for s in text.split(".") if "unk" not in s)
+        print(text)
+        with open(captions_path, "a") as f:
+            json.dump({"image_id": img_id, "caption": text}, f)
+            f.write("\n")
+
+    print("the result is saved into", args.output_dir, filename)
+
+    # --- scoring (reference chair_test.py:375-460) ---
+    with open(captions_path) as f:
+        loaded = [json.loads(line) for line in f]
+    seen = set()
+    deduped = []
+    for rec in loaded:
+        if rec["image_id"] not in seen:
+            seen.add(rec["image_id"])
+            deduped.append(rec)
+
+    formatted = chunked_self_critical_eval(coco, deduped)
+    os.makedirs("./vlm_results", exist_ok=True)
+    formatted_path = os.path.join("./vlm_results", filename)
+    with open(formatted_path, "w") as f:
+        json.dump(formatted, f)
+    print("output file saved at: ", formatted_path)
+
+    chair_eval(
+        chair_input_path=formatted_path,
+        model_type=model,
+        num_images=500,  # reference hard-codes 500 in result names
+        output_dir="./results",
+        dataset_name="coco",
+        data_dir=args.coco_data_dir,
+        metric=args.method,
+        verbosity=True,
+    )
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", type=str, default="None")
+    p.add_argument("--use-prev-sample", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--original", type=str2bool, default=False)
+    p.add_argument("--num-beams", type=int, default=None)
+    p.add_argument("--sample-save-name", type=str, default="sample.log")
+    p.add_argument("--image-numbers", type=int, default=500)
+    p.add_argument("--model", type=str, default="llava-1.5")
+    p.add_argument("--coco-data-dir", required=True, type=str)
+    p.add_argument("--model-path", required=True, type=str)
+    p.add_argument("--avg", type=str2bool, default=False)
+    p.add_argument("--voting-numbers", type=int, default=3)
+    p.add_argument("--opera", type=str2bool, default=False)
+    p.add_argument("--vcd", type=str2bool, default=False)
+    p.add_argument("--use_random", type=str2bool, default=False)
+    p.add_argument("--output-dir", type=str, default="./outputs")
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,143 @@
+"""POPE probing harness — reference pope_test/pope_test.py compatible
+(per-strategy question files, max_new_tokens=1 fast path, timestamped
+answer archive, confusion-matrix report), minus its hard-coded personal
+paths (pope_test.py:149-154, 202-220 — replaced by flags).
+
+Usage:
+  python -m dropoutdecoding_tpu.cli.pope_test \
+      --model llava --model-path /ckpts/llava-1.5-7b-hf \
+      --coco-data-dir /data/coco --pope-dir ./pope_out --number 3000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+from ..evalsuite.pope import (
+    build_questions,
+    parse_question_file,
+    print_scores,
+    score_answers,
+    write_questions,
+)
+from .chair_test import str2bool
+
+POPE_PROMPTS = {
+    "llava-next": "[INST] <image>\n{}[/INST]",
+    "llava": "USER: <image>\n{} ASSISTANT:",
+    "instructblip": "{}",
+}
+
+
+def refresh_questions(coco_data_dir: str, out_dir: str, n_images: int = 500, seed=None):
+    """Regenerate the three question files from instance segmentations
+    (reference pope_metric/main.py:22-64: 500 images with >= 3 objects,
+    sample_num=3)."""
+    from ..evalsuite.chair import _load_synonyms  # canonical names only
+    import random
+
+    with open(os.path.join(coco_data_dir, "annotations/instances_val2014.json")) as f:
+        inst = json.load(f)
+    id_to_name = {c["id"]: c["name"] for c in inst["categories"]}
+    img_file = {im["id"]: im["file_name"] for im in inst["images"]}
+    objs = {}
+    for ann in inst["annotations"]:
+        objs.setdefault(ann["image_id"], [])
+        name = id_to_name[ann["category_id"]]
+        if name not in objs[ann["image_id"]]:
+            objs[ann["image_id"]].append(name)
+    rich = [i for i, o in objs.items() if len(o) >= 3]
+    rng = random.Random(seed)
+    chosen = rng.sample(rich, min(n_images, len(rich)))
+    segments = [{"image": img_file[i], "objects": objs[i]} for i in chosen]
+    paths = {}
+    for strategy in ("random", "popular", "adversarial"):
+        qs = build_questions(segments, sample_num=3, neg_strategy=strategy, seed=seed)
+        paths[strategy] = write_questions(qs, out_dir, "coco", strategy)
+    return paths
+
+
+def main(args):
+    from PIL import Image
+
+    question_dir = os.path.join(args.pope_dir, "output", "coco")
+    if str2bool(args.refresh_data) or not os.path.isdir(question_dir):
+        paths = refresh_questions(
+            args.coco_data_dir, question_dir, seed=args.seed
+        )
+        print(f"Question files written: {list(paths.values())}")
+
+    if args.model != "llava":
+        raise SystemExit("only llava (llava-1.5) is wired into this CLI this round")
+
+    import jax.numpy as jnp
+
+    from ..engine.generate import LlavaEngine
+    from ..models import llava as llava_mod
+    from ..utils.config import GenerationConfig
+    from ..utils.processor import VlmProcessor
+    from .chair_test import build_ensemble_config
+
+    cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+    processor = VlmProcessor.from_checkpoint(args.model_path)
+    eos = processor.tokenizer.eos_token_id
+    engine = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=build_ensemble_config(args, "llava-1.5"),
+        gen=GenerationConfig(max_new_tokens=1, eos_token_id=eos, pad_token_id=eos),
+        max_len=cfg.vision.num_patches + 96,
+        ensemble=not str2bool(args.original),
+        seed=args.seed if args.seed is not None else 24,
+    )
+
+    ans_dir = os.path.join(args.pope_dir, "answer")
+    os.makedirs(ans_dir, exist_ok=True)
+    image_base = os.path.join(args.coco_data_dir, "val2014")
+
+    for strategy in ("adversarial", "popular", "random"):
+        qfile = os.path.join(question_dir, f"coco_pope_{strategy}.json")
+        print(f"the pope file is {qfile}")
+        questions = parse_question_file(qfile)
+        n = min(args.number, len(questions))
+        answers = []
+        from tqdm import tqdm
+
+        for q in tqdm(questions[:n]):
+            image = Image.open(os.path.join(image_base, q["image"])).convert("RGB")
+            prompt = POPE_PROMPTS[args.model].format(q["text"])
+            inputs = processor(prompt, image)
+            result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
+            text = processor.decode(result.tokens[0][: result.num_tokens[0]]).strip()
+            answers.append({"question": q["text"], "answer": text})
+
+        stamp = datetime.now().strftime("%m-%d_%H-%M-%S")
+        ans_path = os.path.join(ans_dir, f"{stamp}_ans.json")
+        with open(ans_path, "w") as f:
+            for a in answers:
+                f.write(json.dumps(a) + "\n")
+        print(f"Answer file: {ans_path}")
+        scores = score_answers(answers, [q["label"] for q in questions[:n]])
+        print_scores(scores)
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="llava")
+    p.add_argument("--model-path", type=str, required=True)
+    p.add_argument("--coco-data-dir", type=str, required=True)
+    p.add_argument("--pope-dir", type=str, default="./pope_out")
+    p.add_argument("--original", type=str2bool, default=False)
+    p.add_argument("--refresh-data", type=str2bool, default=False)
+    p.add_argument("--number", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--avg", type=str2bool, default=False)
+    p.add_argument("--voting-numbers", type=int, default=3)
+    p.add_argument("--use_random", type=str2bool, default=False)
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

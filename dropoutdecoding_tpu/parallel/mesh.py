@@ -1,0 +1,134 @@
+"""Device mesh + sharding rules.
+
+The reference has no real parallelism (SURVEY.md §2.5: SLURM job fan-out
+plus accelerate's sequential layer placement).  The TPU-native design uses
+a 2-D mesh:
+
+  ("data", "model")
+
+- "data": batch of images (the reference's per-job loop, SURVEY.md §2.5
+  'data parallel' row) — pure data parallelism over ICI.
+- "model": megatron-style tensor parallelism inside each Llama layer:
+  attention heads and MLP intermediate dim sharded on "model"; the ensemble
+  member axis stays local to each shard (it multiplies the batch of the
+  per-step matvecs, which is exactly what keeps the MXU fed at batch 1).
+
+With x = activations sharded [data, None, None]:
+  q/k/v_proj: [None, "model"]  (column parallel -> heads split)
+  o_proj:     ["model", None]  (row parallel -> psum by XLA)
+  gate/up:    [None, "model"]
+  down:       ["model", None]
+  embed/lm_head: replicated (vocab small at 32k relative to HBM; logits
+  computed on the full vocab per shard — XLA all-gathers hidden instead)
+KV cache: [L, B(data), S, KH("model"), D].
+
+XLA inserts the collectives (all-reduce after o_proj/down) from these
+annotations alone — no hand-written comms.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import KVCache
+
+
+def make_mesh(n_data: int | None = None, n_model: int | None = None, devices=None):
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None and n_model is None:
+        n_model = 1
+        n_data = n
+    elif n_data is None:
+        n_data = n // n_model
+    elif n_model is None:
+        n_model = n // n_data
+    assert n_data * n_model == n, (n_data, n_model, n)
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _llama_layer_specs():
+    return {
+        "input_ln": P(),
+        "post_attn_ln": P(),
+        "q_proj": P(None, None, "model"),
+        "k_proj": P(None, None, "model"),
+        "v_proj": P(None, None, "model"),
+        "o_proj": P(None, "model", None),
+        "gate_proj": P(None, None, "model"),
+        "up_proj": P(None, None, "model"),
+        "down_proj": P(None, "model", None),
+    }
+
+
+def llama_param_specs():
+    return {
+        "embed_tokens": P(),
+        "layers": _llama_layer_specs(),
+        "norm": P(),
+        "lm_head": P(None, "model"),
+    }
+
+
+def clip_param_specs():
+    layer = {
+        "ln1_w": P(), "ln1_b": P(), "ln2_w": P(), "ln2_b": P(),
+        "q_w": P(None, None, "model"), "q_b": P(None, "model"),
+        "k_w": P(None, None, "model"), "k_b": P(None, "model"),
+        "v_w": P(None, None, "model"), "v_b": P(None, "model"),
+        "out_w": P(None, "model", None), "out_b": P(),
+        "fc1_w": P(None, None, "model"), "fc1_b": P(None, "model"),
+        "fc2_w": P(None, "model", None), "fc2_b": P(),
+    }
+    return {
+        "class_embedding": P(),
+        "patch_embedding": P(),
+        "position_embedding": P(),
+        "pre_ln_w": P(),
+        "pre_ln_b": P(),
+        "layers": layer,
+    }
+
+
+def projector_param_specs():
+    return {
+        "fc1_w": P(None, "model"),
+        "fc1_b": P("model"),
+        "fc2_w": P("model", None),
+        "fc2_b": P(),
+    }
+
+
+def _apply_specs(tree, specs, mesh):
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        tree,
+        specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"),
+    )
+
+
+def shard_llava_params(params, mesh: Mesh):
+    """Place LlavaParams on the mesh with TP shardings."""
+    from ..models.llava import LlavaParams
+
+    return LlavaParams(
+        vision=_apply_specs(params.vision, clip_param_specs(), mesh),
+        projector=_apply_specs(params.projector, projector_param_specs(), mesh),
+        lm=_apply_specs(params.lm, llama_param_specs(), mesh),
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    spec = P(None, "data", None, "model", None)  # [L, B, S, KH, D]
+    return KVCache(
+        jax.device_put(cache.k, NamedSharding(mesh, spec)),
+        jax.device_put(cache.v, NamedSharding(mesh, spec)),
+    )
+
+
+def data_sharding(mesh: Mesh, *batch_axis_first_shapes):
+    """NamedSharding for batch-leading arrays: shard axis 0 on "data"."""
+    return NamedSharding(mesh, P("data"))

@@ -1,0 +1,104 @@
+"""Input processing: CLIP image preprocessing + prompt tokenization.
+
+Replaces the reference's ``AutoProcessor.from_pretrained(...)`` usage
+(chair_test.py:178-180, 287-293).  Image preprocessing is implemented
+directly (PIL + numpy) following the checkpoint's preprocessor_config.json
+(resize shortest side -> center crop -> rescale -> normalize); text goes
+through the checkpoint's fast tokenizer when available.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+class ClipImagePreprocessor:
+    def __init__(
+        self,
+        size: int = 336,
+        crop_size: int | None = None,
+        mean=OPENAI_CLIP_MEAN,
+        std=OPENAI_CLIP_STD,
+        resample="bicubic",
+    ):
+        self.size = size
+        self.crop_size = crop_size or size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.resample = resample
+
+    @classmethod
+    def from_checkpoint(cls, model_dir: str) -> "ClipImagePreprocessor":
+        path = os.path.join(model_dir, "preprocessor_config.json")
+        with open(path) as f:
+            d = json.load(f)
+        size = d.get("size", {})
+        size = size.get("shortest_edge") if isinstance(size, dict) else size
+        crop = d.get("crop_size", {})
+        crop = crop.get("height") if isinstance(crop, dict) else crop
+        return cls(
+            size=size or 336,
+            crop_size=crop or size or 336,
+            mean=d.get("image_mean", OPENAI_CLIP_MEAN),
+            std=d.get("image_std", OPENAI_CLIP_STD),
+        )
+
+    def __call__(self, image) -> np.ndarray:
+        """PIL.Image -> [3, H, W] float32 normalized pixels."""
+        from PIL import Image
+
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        w, h = image.size
+        short, long = (w, h) if w <= h else (h, w)
+        scale = self.size / short
+        new_w, new_h = round(w * scale), round(h * scale)
+        resample = Image.BICUBIC if self.resample == "bicubic" else Image.BILINEAR
+        image = image.resize((new_w, new_h), resample)
+        # center crop
+        left = (new_w - self.crop_size) // 2
+        top = (new_h - self.crop_size) // 2
+        image = image.crop((left, top, left + self.crop_size, top + self.crop_size))
+        arr = np.asarray(image, np.float32) / 255.0  # [H, W, 3]
+        arr = (arr - self.mean) / self.std
+        return arr.transpose(2, 0, 1)
+
+    def batch(self, images) -> np.ndarray:
+        return np.stack([self(im) for im in images])
+
+
+class VlmProcessor:
+    """Tokenizer + image preprocessor pair for a checkpoint directory.
+
+    ``__call__(prompt, image)`` returns {'input_ids': [1, S] (single
+    <image> placeholder token), 'pixel_values': [1, 3, H, W]} — the 4.44-era
+    convention our merge implements (reference llava.py:74-153)."""
+
+    def __init__(self, tokenizer, image_processor, image_token: str = "<image>"):
+        self.tokenizer = tokenizer
+        self.image = image_processor
+        self.image_token = image_token
+
+    @classmethod
+    def from_checkpoint(cls, model_dir: str) -> "VlmProcessor":
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_dir, use_fast=True)
+        return cls(tok, ClipImagePreprocessor.from_checkpoint(model_dir))
+
+    def __call__(self, prompt: str, image=None):
+        ids = self.tokenizer(prompt, return_tensors="np")["input_ids"]
+        out = {"input_ids": ids.astype(np.int32)}
+        if image is not None:
+            out["pixel_values"] = self.image.batch([image])
+        return out
+
+    def decode(self, token_ids, skip_special_tokens=True) -> str:
+        return self.tokenizer.decode(
+            list(map(int, token_ids)), skip_special_tokens=skip_special_tokens
+        )

@@ -1,0 +1,144 @@
+"""End-to-end engine tests on a tiny random LLaVA.
+
+- greedy engine == HF LlavaForConditionalGeneration.generate (greedy)
+- ensemble engine with mask policy 'none' == greedy (all members see the
+  full context, so vote trivially returns the unmasked argmax; this
+  exercises the winner-KV scatter + vote machinery end to end)
+- masked ensemble produces valid output and differs under 'all_image'
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.engine.generate import LlavaEngine
+from dropoutdecoding_tpu.models import llava
+from dropoutdecoding_tpu.utils.config import (
+    EnsembleConfig,
+    GenerationConfig,
+    LlavaConfig,
+)
+from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
+
+
+@pytest.fixture(scope="module")
+def tiny_llava():
+    from transformers import (
+        CLIPVisionConfig as HFVCfg,
+        LlamaConfig as HFLCfg,
+        LlavaConfig as HFLlavaCfg,
+        LlavaForConditionalGeneration,
+    )
+
+    torch.manual_seed(11)
+    hf_cfg = HFLlavaCfg(
+        vision_config=HFVCfg(
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=7,
+        ).to_dict(),
+        text_config=HFLCfg(
+            vocab_size=64,
+            hidden_size=48,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=128,
+        ).to_dict(),
+        image_token_index=32,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        attn_implementation="eager",
+    )
+    model = LlavaForConditionalGeneration(hf_cfg).eval().float()
+    cfg = LlavaConfig.from_hf_dict(hf_cfg.to_dict())
+    params = llava.params_from_hf(cfg, state_dict_from_torch_module(model), jnp.float32)
+    rng = np.random.default_rng(3)
+    input_ids = np.array([[1, 5, 9, 32, 11, 13, 17]])
+    expanded_ids = np.array([[1, 5, 9] + [32] * 16 + [11, 13, 17]])
+    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+    return model, cfg, params, input_ids, expanded_ids, pixels
+
+
+def _engine(cfg, params, **kw):
+    defaults = dict(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=8, eos_token_id=63, pad_token_id=63),
+        max_len=64,
+    )
+    defaults.update(kw)
+    e = LlavaEngine(**defaults)
+    e.param_dtype = jnp.float32
+    return e
+
+
+def test_greedy_matches_hf_generate(tiny_llava):
+    model, cfg, params, input_ids, expanded_ids, pixels = tiny_llava
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(expanded_ids),
+            pixel_values=torch.from_numpy(pixels),
+            attention_mask=torch.ones_like(torch.from_numpy(expanded_ids)),
+            max_new_tokens=8,
+            do_sample=False,
+        )
+    ref_new = ref[0, expanded_ids.shape[1] :].numpy()
+
+    eng = _engine(cfg, params, ensemble=False)
+    out = eng.generate(input_ids, pixels)
+    n = min(len(ref_new), out.num_tokens[0])
+    np.testing.assert_array_equal(out.tokens[0, :n], ref_new[:n])
+
+
+def test_ensemble_none_policy_equals_greedy(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    greedy = _engine(cfg, params, ensemble=False).generate(input_ids, pixels)
+    ens = _engine(
+        cfg,
+        params,
+        ensemble=True,
+        ens=EnsembleConfig(mask_policy="none", voting_probs=(0.3, 0.5, 0.7)),
+    ).generate(input_ids, pixels)
+    np.testing.assert_array_equal(greedy.tokens, ens.tokens)
+
+
+def test_ensemble_epis_runs_and_emits_tokens(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    out = _engine(
+        cfg,
+        params,
+        ensemble=True,
+        ens=EnsembleConfig(mask_policy="epis"),
+    ).generate(input_ids, pixels)
+    assert out.tokens.shape == (1, 8)
+    assert out.num_tokens[0] >= 1
+    assert (out.tokens >= 0).all() and (out.tokens < 64).all()
+
+
+def test_prefill_state_fields(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    st = eng.prefill(input_ids, pixels)
+    N = cfg.vision.num_patches
+    assert st.epis.shape == (1, N)
+    assert st.topk_ids.shape == (1, N, 5)
+    assert int(st.cur_len[0]) == input_ids.shape[1] + N - 1
+    assert int(st.image_pos[0]) == 3
+    assert np.all(np.asarray(st.uncertainty["alea_uncert_per_token"]) >= 0)
+
+
+def test_use_avg_aggregation(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    out = _engine(
+        cfg,
+        params,
+        ensemble=True,
+        ens=EnsembleConfig(mask_policy="epis", use_avg=True),
+    ).generate(input_ids, pixels)
+    assert out.num_tokens[0] >= 1
