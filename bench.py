@@ -18,6 +18,7 @@ depth-invariant: every strategy runs the same tower).
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -63,17 +64,21 @@ def build(n_layers: int):
 DECODE_TOKENS = 32
 
 
-def time_decode(engine, state, params, repeats=2):
-    import jax
+def _fetch(x):
+    """Force real execution: block_until_ready does not reliably block over
+    the axon TPU tunnel, so timing must pull a value to the host."""
+    return np.asarray(x)
 
-    # warmup/compile
+
+def time_decode(engine, state, params, repeats=2):
+    # warmup/compile + first (cold) execution
     tokens, _ = engine._decode(params, state)
-    tokens.block_until_ready()
+    _fetch(tokens[:, -1])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         tokens, _ = engine._decode(params, state)
-        tokens.block_until_ready()
+        _fetch(tokens[:, -1])
         best = min(best, time.perf_counter() - t0)
     return DECODE_TOKENS / best  # tokens/sec
 
@@ -90,7 +95,7 @@ def reference_style_step(engine, params, state):
     cfg = engine.cfg
     K = engine.ens.k
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(params, cache_k, cache_v, cur_len, token):
         cache = llama_mod.KVCache(cache_k, cache_v)
         x = llama_mod.embed(params.lm, token)
@@ -134,25 +139,27 @@ def main():
 
             ens_engine = mk(True)
             state = ens_engine.prefill(input_ids, pixels)
-            jax.block_until_ready(state.cache.k)
+            _fetch(state.first_token)
 
             ens_tps = time_decode(ens_engine, state, params)
+            print(f"ensemble: {ens_tps:.2f} t/s", file=sys.stderr, flush=True)
 
             greedy_engine = mk(False)
             greedy_tps = time_decode(greedy_engine, state, params)
+            print(f"greedy: {greedy_tps:.2f} t/s", file=sys.stderr, flush=True)
 
             # reference-style sequential emulation
             step = reference_style_step(ens_engine, params, state)
-            ck, cv = state.cache.k, state.cache.v
+            ck, cv = state.cache.k + 0, state.cache.v + 0
             cur = state.cur_len
             tok = state.first_token
-            ck, cv, tok = step(params, ck, cv, cur, tok)  # compile
-            jax.block_until_ready(ck)
+            ck, cv, tok = step(params, ck, cv, cur, tok)  # compile + cold run
+            _fetch(tok)
             t0 = time.perf_counter()
-            n_steps = 8
+            n_steps = 4
             for i in range(n_steps):
                 ck, cv, tok = step(params, ck, cv, cur + 1 + i, tok)
-            jax.block_until_ready(ck)
+                _fetch(tok)
             ref_tps = n_steps / (time.perf_counter() - t0)
             break
         except Exception as e:  # OOM fallback: halve depth

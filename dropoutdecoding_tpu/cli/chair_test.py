@@ -70,11 +70,12 @@ def build_ensemble_config(args, model: str) -> EnsembleConfig:
     )
 
 
+REFERENCE_SEEDS = {"llava-1.5": 24, "instructblip": 5217, "llava-next": 506}
+
+
 def make_engine(args):
     import jax.numpy as jnp
 
-    from ..models import llava as llava_mod
-    from ..engine.generate import LlavaEngine
     from ..utils.processor import VlmProcessor
 
     model = args.model
@@ -85,15 +86,9 @@ def make_engine(args):
             "(reference chair_test.py:306-323, test_opera.py:16-21). "
             "Run with --original/--vcd or the default dropout decoding."
         )
-    if model != "llava-1.5":
-        raise SystemExit(
-            f"model {model!r} is not wired into this CLI yet; "
-            "llava-1.5 is the supported path this round"
-        )
-    cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+
     processor = VlmProcessor.from_checkpoint(args.model_path)
     eos = processor.tokenizer.eos_token_id
-
     num_beams = args.num_beams if args.num_beams is not None else 1
     gen = GenerationConfig(
         max_new_tokens=512,
@@ -102,16 +97,73 @@ def make_engine(args):
         num_beams=num_beams,
         use_cd=str2bool(args.vcd),
     )
-    engine = LlavaEngine(
-        cfg=cfg,
-        params=params,
+    common = dict(
         ens=build_ensemble_config(args, model),
         gen=gen,
-        max_len=cfg.vision.num_patches + 64 + 512,
         ensemble=not (str2bool(args.original) or str2bool(args.vcd)),
-        seed=args.seed if args.seed is not None else 24,
+        seed=args.seed if args.seed is not None else REFERENCE_SEEDS[model],
     )
+
+    if model == "llava-1.5":
+        from ..engine.generate import LlavaEngine
+        from ..models import llava as llava_mod
+
+        cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+        engine = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            max_len=cfg.vision.num_patches + 64 + 512,
+            **common,
+        )
+    elif model == "instructblip":
+        from ..engine.instructblip_engine import InstructBlipEngine
+        from ..models import instructblip as ib_mod
+
+        cfg, params = ib_mod.load(args.model_path, jnp.bfloat16)
+        engine = InstructBlipEngine(
+            cfg=cfg,
+            params=params,
+            max_len=cfg.num_query_tokens + 64 + 512,
+            **common,
+        )
+    elif model == "llava-next":
+        from ..engine.llavanext_engine import LlavaNextEngine
+        from ..models import llavanext as next_mod
+
+        cfg, params = next_mod.load(args.model_path, jnp.bfloat16)
+        engine = LlavaNextEngine(
+            cfg=cfg,
+            params=params,
+            max_len=next_mod.max_image_tokens(cfg) + 64 + 512,
+            **common,
+        )
+    else:
+        raise SystemExit(f"unknown model {model!r}")
     return engine, processor
+
+
+def run_engine(engine, processor, model, prompt, image):
+    """One caption: model-specific input prep + generate + decode."""
+    if model == "llava-next":
+        from ..utils.processor import LlavaNextImagePreprocessor
+
+        if not hasattr(run_engine, "_next_prep"):
+            run_engine._next_prep = LlavaNextImagePreprocessor(
+                [list(p) for p in engine.cfg.image_grid_pinpoints],
+                tile_size=engine.cfg.vision.image_size,
+            )
+        tiles, orig = run_engine._next_prep(image)
+        ids = processor(prompt)["input_ids"]
+        result = engine.generate(ids, tiles, orig)
+    elif model == "instructblip":
+        inputs = processor(prompt, image)
+        result = engine.generate(
+            inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
+        )
+    else:
+        inputs = processor(prompt, image)
+        result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
+    return processor.decode(result.tokens[0][: result.num_tokens[0]])
 
 
 def chair_eval(
@@ -204,9 +256,7 @@ def main(args):
         image = Image.open(
             os.path.join(args.coco_data_dir, "val2014", img_file)
         ).convert("RGB")
-        inputs = processor(PROMPTS[model], image)
-        result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
-        text = processor.decode(result.tokens[0][: result.num_tokens[0]])
+        text = run_engine(engine, processor, model, PROMPTS[model], image)
         split = ANSWER_SPLIT[model]
         if split and split in text:
             text = text.split(split, 1)[-1]

@@ -69,29 +69,31 @@ def main(args):
         )
         print(f"Question files written: {list(paths.values())}")
 
-    if args.model != "llava":
-        raise SystemExit("only llava (llava-1.5) is wired into this CLI this round")
+    # pope_test model names: llava-next | llava | instructblip
+    # (reference pope_test.py:149-154); map to chair_test naming.
+    model_key = {"llava": "llava-1.5", "llava-next": "llava-next",
+                 "instructblip": "instructblip"}[args.model]
+    from argparse import Namespace
 
-    import jax.numpy as jnp
+    from .chair_test import make_engine, run_engine
 
-    from ..engine.generate import LlavaEngine
-    from ..models import llava as llava_mod
-    from ..utils.config import GenerationConfig
-    from ..utils.processor import VlmProcessor
-    from .chair_test import build_ensemble_config
-
-    cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
-    processor = VlmProcessor.from_checkpoint(args.model_path)
-    eos = processor.tokenizer.eos_token_id
-    engine = LlavaEngine(
-        cfg=cfg,
-        params=params,
-        ens=build_ensemble_config(args, "llava-1.5"),
-        gen=GenerationConfig(max_new_tokens=1, eos_token_id=eos, pad_token_id=eos),
-        max_len=cfg.vision.num_patches + 96,
-        ensemble=not str2bool(args.original),
-        seed=args.seed if args.seed is not None else 24,
+    eng_args = Namespace(
+        model=model_key,
+        model_path=args.model_path,
+        opera=False,
+        vcd=False,
+        original=args.original,
+        num_beams=1,
+        avg=args.avg,
+        voting_numbers=args.voting_numbers,
+        use_random=args.use_random,
+        seed=args.seed,
     )
+    engine, processor = make_engine(eng_args)
+    # POPE needs a single token (reference pope_test.py:239-242)
+    import dataclasses
+
+    engine.gen = dataclasses.replace(engine.gen, max_new_tokens=1)
 
     ans_dir = os.path.join(args.pope_dir, "answer")
     os.makedirs(ans_dir, exist_ok=True)
@@ -108,9 +110,7 @@ def main(args):
         for q in tqdm(questions[:n]):
             image = Image.open(os.path.join(image_base, q["image"])).convert("RGB")
             prompt = POPE_PROMPTS[args.model].format(q["text"])
-            inputs = processor(prompt, image)
-            result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
-            text = processor.decode(result.tokens[0][: result.num_tokens[0]]).strip()
+            text = run_engine(engine, processor, model_key, prompt, image).strip()
             answers.append({"question": q["text"], "answer": text})
 
         stamp = datetime.now().strftime("%m-%d_%H-%M-%S")

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 
 def epis_mask_probs(
-    epis: jax.Array, prob_cap: jax.Array, floor: float = 0.1
+    epis: jax.Array,
+    prob_cap: jax.Array,
+    floor: float = 0.1,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """Linear map of epistemic uncertainty to per-token mask probability:
 
@@ -36,11 +39,20 @@ def epis_mask_probs(
     i.e. exactly min/max).  Degenerate all-equal epis => probability 0
     (the reference would emit NaN and consequently mask nothing; we encode
     that outcome without the NaN).
+
+    ``valid`` restricts the min/max statistics to real tokens when the
+    visual span is padded to a static maximum (LLaVA-NeXT variable tile
+    counts, SURVEY.md §7 hard part #3).
     """
-    lo = jnp.min(epis)
-    hi = jnp.max(epis)
+    if valid is not None:
+        lo = jnp.min(jnp.where(valid, epis, jnp.inf))
+        hi = jnp.max(jnp.where(valid, epis, -jnp.inf))
+    else:
+        lo = jnp.min(epis)
+        hi = jnp.max(epis)
     denom = hi - lo
     scaled = jnp.where(denom > 0, (epis - lo) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    scaled = jnp.clip(scaled, 0.0, 1.0)
     return jnp.where(denom > 0, floor + (prob_cap - floor) * scaled, 0.0)
 
 
@@ -68,6 +80,7 @@ def build_member_drop_mask(
     accumulate: bool,
     kl_keep: jax.Array | None = None,
     floor: float = 0.1,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """Drop mask for one ensemble member.
 
@@ -86,22 +99,29 @@ def build_member_drop_mask(
     """
     N = epis.shape[0]
     if policy == "epis":
-        probs = epis_mask_probs(epis, prob_cap, floor)
+        probs = epis_mask_probs(epis, prob_cap, floor, valid)
         drop = jax.random.uniform(key, (N,)) < probs
         if accumulate:
             drop = drop | prev_drop
         drop = drop & ~overlap_keep
     elif policy == "epis_no_overlap":
-        drop = jax.random.uniform(key, (N,)) < epis_mask_probs(epis, prob_cap, floor)
+        drop = jax.random.uniform(key, (N,)) < epis_mask_probs(
+            epis, prob_cap, floor, valid
+        )
         if accumulate:
             drop = drop | prev_drop
     elif policy == "epis_quantile":
         # InstructBLIP deterministic variant (instructblip.py:447-460):
         # mask the top-`prob` proportion by epis, then restore overlap.
-        threshold = jnp.quantile(epis, 1.0 - prob_cap)
+        if valid is not None:
+            threshold = jnp.nanquantile(
+                jnp.where(valid, epis, jnp.nan), 1.0 - prob_cap
+            )
+        else:
+            threshold = jnp.quantile(epis, 1.0 - prob_cap)
         drop = (epis >= threshold) & ~overlap_keep
     elif policy == "epis_kl":
-        probs = epis_mask_probs(epis, prob_cap, floor)
+        probs = epis_mask_probs(epis, prob_cap, floor, valid)
         drop = jax.random.uniform(key, (N,)) < probs
         if kl_keep is not None:
             drop = drop & ~kl_keep

@@ -49,6 +49,7 @@ class PrefillState(NamedTuple):
     topk_ids: jax.Array  # [B, N, k] text-projection table
     image_logits: jax.Array  # [B, N, V] visual-token logits (for epis_kl)
     image_pos: jax.Array  # [B] start of the visual span
+    visual_mask: jax.Array  # [B, N] validity (LLaVA-NeXT pads N to a max)
     uncertainty: dict  # full uncertainty dict (diagnostics)
 
 
@@ -79,6 +80,11 @@ class LlavaEngine:
     def __post_init__(self):
         self._prefill = jax.jit(self._prefill_impl)
         self._decode = jax.jit(self._decode_loop_impl)
+
+    @property
+    def n_visual(self) -> int:
+        """Number of visual tokens in the merged sequence."""
+        return self.cfg.vision.num_patches
 
     # ------------------------------------------------------------------
     # prefill
@@ -124,6 +130,7 @@ class LlavaEngine:
             topk_ids=topk_ids,
             image_logits=img_logits,
             image_pos=image_pos,
+            visual_mask=jnp.ones((B, N), bool),
             uncertainty=uncert,
         )
 
@@ -136,7 +143,7 @@ class LlavaEngine:
         cfg, ens = self.cfg, self.ens
         cache, cur_len, token, step, tokens_buf, done, text_prob_buf = carry
         B = token.shape[0]
-        N = self.cfg.vision.num_patches
+        N = self.n_visual
         K = ens.k
         Smax = self.max_len
 
@@ -165,7 +172,7 @@ class LlavaEngine:
 
             step_key = jax.random.fold_in(jax.random.key(self.seed), step)
 
-            def member_masks(b_key, epis_b, overlap_b, kl_b):
+            def member_masks(b_key, epis_b, overlap_b, kl_b, valid_b):
                 drops = []
                 prev = jnp.zeros((N,), bool)
                 for m, cap in enumerate(ens.voting_probs):
@@ -180,6 +187,7 @@ class LlavaEngine:
                         ens.mask_accumulate,
                         kl_keep=kl_b,
                         floor=ens.prob_floor,
+                        valid=valid_b,
                     )
                     drops.append(d)
                     prev = d
@@ -189,13 +197,17 @@ class LlavaEngine:
                 jnp.arange(B)
             )
             kl_arg = kl_keep if kl_keep is not None else jnp.zeros((B, N), bool)
-            drops = jax.vmap(member_masks)(b_keys, state.epis, overlap, kl_arg)
+            drops = jax.vmap(member_masks)(
+                b_keys, state.epis, overlap, kl_arg, state.visual_mask
+            )
+            drops = drops & state.visual_mask[:, None, :]
 
             # place drops into cache-slot space: slot s is visual token
-            # s - image_pos when in [image_pos, image_pos + N)
+            # s - image_pos when in [image_pos, image_pos + n_img)
+            n_img = jnp.sum(state.visual_mask, axis=-1)  # [B] actual count
             slots = jnp.arange(Smax)[None, :]  # [1, Smax]
             in_span = (slots >= state.image_pos[:, None]) & (
-                slots < state.image_pos[:, None] + N
+                slots < state.image_pos[:, None] + n_img[:, None]
             )  # [B, Smax]
             tok_idx = jnp.clip(slots - state.image_pos[:, None], 0, N - 1)
             drop_slots = jnp.take_along_axis(drops, tok_idx[:, None, :], axis=2)

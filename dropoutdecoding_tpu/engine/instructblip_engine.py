@@ -1,0 +1,92 @@
+"""InstructBLIP dropout-decoding engine.
+
+Same decode machinery as LlavaEngine (the method runs identically per
+step); only prefill differs: visual tokens come from the Q-Former (32
+projected query outputs prepended to the text embeds, reference
+instructblip.py:661-664), the visual span is [0, 32), and the per-model
+mask policy defaults follow the reference (deterministic top-quantile
+"epis" with per-member mask restore, topk=10 — instructblip.py:121-122,
+187, 447-460).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import instructblip as ib_mod
+from ..models import llama as llama_mod
+from ..models.llama import KVCache
+from ..ops.uncertainty import vision_uncertainty
+from .generate import LlavaEngine, PrefillState
+
+
+@dataclass
+class InstructBlipEngine(LlavaEngine):
+    @property
+    def n_visual(self) -> int:
+        return self.cfg.num_query_tokens
+
+    def _prefill_impl(self, params, input_ids, pixel_values, qformer_input_ids=None):
+        cfg = self.cfg
+        B, S_text = input_ids.shape
+        N = cfg.num_query_tokens
+
+        visual = ib_mod.visual_tokens(
+            cfg, params, pixel_values, qformer_input_ids
+        )  # [B, N, D]
+        text_embeds = llama_mod.embed(params.lm, input_ids)
+        merged = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)
+        S = merged.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        hidden, kv = llama_mod.prefill(params.lm, cfg.text, merged, positions)
+
+        img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
+        uncert = vision_uncertainty(img_logits)
+        _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
+        last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+        cache = KVCache.empty(cfg.text, B, self.max_len, self.param_dtype)
+        cache = KVCache(
+            jax.lax.dynamic_update_slice_in_dim(cache.k, kv.k, 0, axis=2),
+            jax.lax.dynamic_update_slice_in_dim(cache.v, kv.v, 0, axis=2),
+        )
+        return PrefillState(
+            cache=cache,
+            cur_len=jnp.full((B,), S, jnp.int32),
+            first_token=first_token,
+            epis=uncert["epis_uncert_per_token"],
+            topk_ids=topk_ids,
+            image_logits=img_logits,
+            image_pos=jnp.zeros((B,), jnp.int32),
+            visual_mask=jnp.ones((B, N), bool),
+            uncertainty=uncert,
+        )
+
+    def prefill(self, input_ids, pixel_values, qformer_input_ids):
+        return self._prefill(
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(pixel_values),
+            jnp.asarray(qformer_input_ids),
+        )
+
+    def generate(self, input_ids, pixel_values, qformer_input_ids=None):
+        if qformer_input_ids is None:
+            qformer_input_ids = input_ids
+        state = self.prefill(input_ids, pixel_values, qformer_input_ids)
+        tokens, steps = self._decode(self.params, state)
+        tokens = np.asarray(tokens)
+        eos = self.gen.eos_token_id
+        from .generate import GenerationResult
+
+        num = np.array(
+            [
+                (np.where(row == eos)[0][0] + 1) if (row == eos).any() else len(row)
+                for row in tokens
+            ]
+        )
+        return GenerationResult(tokens=tokens, num_tokens=num)

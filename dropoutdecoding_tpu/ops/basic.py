@@ -36,8 +36,10 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 def act_fn(name: str):
+    # HF "gelu" is the exact erf form (torch nn.GELU default);
+    # jax.nn.gelu defaults to the tanh approximation — be explicit.
     return {
-        "gelu": jax.nn.gelu,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
         "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
         "quick_gelu": quick_gelu,

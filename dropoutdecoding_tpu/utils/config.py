@@ -44,7 +44,7 @@ class LlamaConfig:
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=heads,
             num_key_value_heads=d.get("num_key_value_heads", heads),
-            head_dim=d.get("head_dim", d["hidden_size"] // heads),
+            head_dim=d.get("head_dim") or d["hidden_size"] // heads,
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
             rope_theta=d.get("rope_theta", 10000.0),
@@ -195,6 +195,7 @@ class LlavaNextConfig:
     pad_token_id: int = 32001
     vision_feature_layer: int = -2
     vision_feature_select_strategy: str = "default"
+    projector_hidden_act: str = "gelu"
     image_grid_pinpoints: Tuple[Tuple[int, int], ...] = (
         (336, 672),
         (672, 336),

@@ -9,6 +9,7 @@ through the checkpoint's fast tokenizer when available.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -70,6 +71,72 @@ class ClipImagePreprocessor:
 
     def batch(self, images) -> np.ndarray:
         return np.stack([self(im) for im in images])
+
+
+class LlavaNextImagePreprocessor:
+    """Anyres preprocessing (HF LlavaNextImageProcessor semantics): a plain
+    square-resized base tile plus the best-resolution aspect-preserving
+    resize, center-padded and divided into tile_size patches."""
+
+    def __init__(self, grid_pinpoints, tile_size=336, mean=OPENAI_CLIP_MEAN,
+                 std=OPENAI_CLIP_STD):
+        self.grid_pinpoints = [tuple(p) for p in grid_pinpoints]
+        self.tile = tile_size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    @classmethod
+    def from_checkpoint(cls, model_dir: str) -> "LlavaNextImagePreprocessor":
+        with open(os.path.join(model_dir, "preprocessor_config.json")) as f:
+            d = json.load(f)
+        size = d.get("size", {})
+        size = size.get("shortest_edge") if isinstance(size, dict) else size
+        return cls(
+            grid_pinpoints=d.get(
+                "image_grid_pinpoints",
+                [[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]],
+            ),
+            tile_size=size or 336,
+            mean=d.get("image_mean", OPENAI_CLIP_MEAN),
+            std=d.get("image_std", OPENAI_CLIP_STD),
+        )
+
+    def _norm(self, arr: np.ndarray) -> np.ndarray:
+        arr = arr.astype(np.float32) / 255.0
+        return ((arr - self.mean) / self.std).transpose(2, 0, 1)
+
+    def __call__(self, image):
+        """PIL image -> (tiles [n_tiles, 3, T, T], original_size (H, W))."""
+        from PIL import Image
+
+        from ..models.llavanext import select_best_resolution
+
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        w, h = image.size
+        T = self.tile
+        th, tw = select_best_resolution((h, w), self.grid_pinpoints)
+        # aspect-preserving resize (HF get_patch_output_size semantics:
+        # snap the binding dimension to the target, ceil the other)
+        if tw / w < th / h:
+            nw, nh = tw, min(math.ceil(h * (tw / w)), th)
+        else:
+            nh, nw = th, min(math.ceil(w * (th / h)), tw)
+        resized = np.asarray(image.resize((nw, nh), Image.BICUBIC))
+        # center pad to (th, tw)
+        py, ry = divmod(th - nh, 2)
+        px, rx = divmod(tw - nw, 2)
+        canvas = np.zeros((th, tw, 3), resized.dtype)
+        canvas[py : py + nh, px : px + nw] = resized
+        # divide into tiles, row-major
+        tiles = [
+            canvas[r : r + T, c : c + T]
+            for r in range(0, th, T)
+            for c in range(0, tw, T)
+        ]
+        base = np.asarray(image.resize((T, T), Image.BICUBIC))
+        out = np.stack([self._norm(base)] + [self._norm(t) for t in tiles])
+        return out, (h, w)
 
 
 class VlmProcessor:

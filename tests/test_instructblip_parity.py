@@ -1,0 +1,158 @@
+"""InstructBLIP parity vs tiny random HF models: vision tower, Q-Former
+pipeline, and end-to-end greedy generate (reference instructblip.py
+call path, SURVEY.md §3.2)."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.engine.instructblip_engine import InstructBlipEngine
+from dropoutdecoding_tpu.models import blip_vit, instructblip as ib_mod
+from dropoutdecoding_tpu.utils.config import (
+    EnsembleConfig,
+    GenerationConfig,
+    InstructBlipConfig,
+)
+from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
+
+
+@pytest.fixture(scope="module")
+def tiny_instructblip():
+    from transformers import (
+        InstructBlipConfig as HFCfg,
+        InstructBlipForConditionalGeneration,
+        InstructBlipQFormerConfig,
+        InstructBlipVisionConfig,
+        LlamaConfig as HFLCfg,
+    )
+
+    torch.manual_seed(5)
+    hf_cfg = HFCfg(
+        vision_config=InstructBlipVisionConfig(
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=7,
+        ).to_dict(),
+        qformer_config=InstructBlipQFormerConfig(
+            vocab_size=48,
+            hidden_size=24,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            intermediate_size=48,
+            cross_attention_frequency=2,
+            encoder_hidden_size=32,
+            max_position_embeddings=64,
+        ).to_dict(),
+        text_config=HFLCfg(
+            vocab_size=64,
+            hidden_size=40,
+            intermediate_size=80,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=128,
+            bos_token_id=1,
+            eos_token_id=2,
+        ).to_dict(),
+        num_query_tokens=4,
+        attn_implementation="eager",
+    )
+    hf_cfg.image_token_id = 63  # modern HF expects expanded image tokens
+    model = InstructBlipForConditionalGeneration(hf_cfg).eval().float()
+    cfg = InstructBlipConfig.from_hf_dict(hf_cfg.to_dict())
+    params = ib_mod.params_from_hf(
+        cfg, state_dict_from_torch_module(model), jnp.float32
+    )
+    rng = np.random.default_rng(6)
+    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+    return model, cfg, params, pixels
+
+
+def test_vision_tower_matches_hf(tiny_instructblip, rng):
+    model, cfg, params, pixels = tiny_instructblip
+    with torch.no_grad():
+        ref = model.vision_model(torch.from_numpy(pixels)).last_hidden_state.numpy()
+    ours = np.asarray(blip_vit.apply(cfg.vision, params.vision, jnp.asarray(pixels)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_visual_tokens_match_hf_pipeline(tiny_instructblip):
+    model, cfg, params, pixels = tiny_instructblip
+    q_ids = np.array([[3, 7, 11, 13, 2]])
+    with torch.no_grad():
+        img = model.vision_model(torch.from_numpy(pixels)).last_hidden_state
+        img_mask = torch.ones(img.size()[:-1], dtype=torch.long)
+        qt = model.query_tokens.expand(1, -1, -1)
+        q_mask = torch.ones(qt.size()[:-1], dtype=torch.long)
+        full_mask = torch.cat([q_mask, torch.ones_like(torch.from_numpy(q_ids))], 1)
+        q_out = model.qformer(
+            input_ids=torch.from_numpy(q_ids),
+            attention_mask=full_mask,
+            query_embeds=qt,
+            encoder_hidden_states=img,
+            encoder_attention_mask=img_mask,
+            return_dict=True,
+        ).last_hidden_state[:, : qt.size(1)]
+        ref = model.language_projection(q_out).numpy()
+    ours = np.asarray(
+        ib_mod.visual_tokens(cfg, params, jnp.asarray(pixels), jnp.asarray(q_ids))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_greedy_generate_matches_hf(tiny_instructblip):
+    model, cfg, params, pixels = tiny_instructblip
+    q_ids = np.array([[3, 7, 11]])
+    input_ids = np.array([[1, 9, 21, 33]])
+    # HF 4.57 wants the image placeholder tokens pre-expanded in input_ids;
+    # the reference (4.44) and our engine prepend the 4 query outputs
+    # internally (instructblip.py:661-664) — same final layout.
+    hf_input_ids = np.array([[63] * 4 + [1, 9, 21, 33]])
+    with torch.no_grad():
+        ref = model.generate(
+            pixel_values=torch.from_numpy(pixels),
+            qformer_input_ids=torch.from_numpy(q_ids),
+            input_ids=torch.from_numpy(hf_input_ids),
+            max_new_tokens=6,
+            do_sample=False,
+        )
+    # HF prepends bos (=2 workaround or text bos) then the generated ids
+    # follow the prompt; take the tail after input prompt handling.
+    ref = ref[0].numpy()
+
+    eng = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=6, eos_token_id=2, pad_token_id=2),
+        max_len=48,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+    out = eng.generate(input_ids, pixels, q_ids)
+    n = min(out.num_tokens[0], 6)
+    # compare the first n generated tokens with the tail of HF's output
+    assert list(out.tokens[0][:n]) == list(ref[-n:]) or list(
+        out.tokens[0][:n]
+    ) == list(ref[1 : 1 + n]), (out.tokens[0][:n], ref)
+
+
+def test_ensemble_quantile_policy_runs(tiny_instructblip):
+    _, cfg, params, pixels = tiny_instructblip
+    eng = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(
+            mask_policy="epis_quantile", mask_accumulate=False, topk=10
+        ),
+        gen=GenerationConfig(max_new_tokens=5, eos_token_id=2, pad_token_id=2),
+        max_len=48,
+        ensemble=True,
+        seed=5217,
+    )
+    eng.param_dtype = jnp.float32
+    out = eng.generate(np.array([[1, 9, 21]]), pixels, np.array([[3, 7]]))
+    assert out.tokens.shape == (1, 5)

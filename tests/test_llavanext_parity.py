@@ -1,0 +1,173 @@
+"""LLaVA-NeXT parity vs tiny HF models: anyres geometry, spatial_unpad
+packing, and end-to-end greedy generate (reference llavanext.py:388-427
+pipeline)."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+from dropoutdecoding_tpu.models import llavanext as next_mod
+from dropoutdecoding_tpu.utils.config import (
+    EnsembleConfig,
+    GenerationConfig,
+    LlavaNextConfig,
+)
+from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
+
+PINPOINTS = [[28, 56], [56, 28], [56, 56]]
+
+
+@pytest.fixture(scope="module")
+def tiny_llava_next():
+    from transformers import (
+        CLIPVisionConfig as HFVCfg,
+        LlavaNextConfig as HFCfg,
+        LlavaNextForConditionalGeneration,
+        MistralConfig as HFMCfg,
+    )
+
+    torch.manual_seed(21)
+    hf_cfg = HFCfg(
+        vision_config=HFVCfg(
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=7,
+        ).to_dict(),
+        text_config=HFMCfg(
+            vocab_size=64,
+            hidden_size=48,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=256,
+        ).to_dict(),
+        image_token_index=32,
+        image_grid_pinpoints=PINPOINTS,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        attn_implementation="eager",
+    )
+    model = LlavaNextForConditionalGeneration(hf_cfg).eval().float()
+    d = hf_cfg.to_dict()
+    d["text_config"]["num_key_value_heads"] = 2
+    cfg = LlavaNextConfig.from_hf_dict(d)
+    params = next_mod.params_from_hf(
+        cfg, state_dict_from_torch_module(model), jnp.float32
+    )
+    return model, cfg, params
+
+
+def test_geometry_matches_hf():
+    from transformers.models.llava_next.modeling_llava_next import (
+        image_size_to_num_patches,
+    )
+
+    cfg = LlavaNextConfig(
+        vision=LlavaNextConfig().vision.__class__(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, image_size=28, patch_size=7,
+        ),
+        image_grid_pinpoints=tuple(tuple(p) for p in PINPOINTS),
+    )
+    for size in [(40, 50), (50, 40), (100, 30), (28, 28), (333, 444)]:
+        geo = next_mod.image_geometry(size, cfg)
+        n_tiles_hf = image_size_to_num_patches(list(size), PINPOINTS, 28)
+        assert geo["n_tiles"] == n_tiles_hf, (size, geo, n_tiles_hf)
+
+
+def test_packing_matches_hf_pack_image_features(tiny_llava_next, rng):
+    model, cfg, params, = tiny_llava_next
+    for size in [(40, 50), (100, 30), (30, 95)]:
+        geo = next_mod.image_geometry(size, cfg)
+        n_tiles = geo["n_tiles"]
+        feats = rng.normal(size=(n_tiles, 16, 48)).astype(np.float32)
+
+        with torch.no_grad():
+            ref, lens = model.model.pack_image_features(
+                [torch.from_numpy(feats)],
+                image_sizes=torch.tensor([list(size)]),
+                vision_feature_select_strategy="default",
+                image_newline=model.model.image_newline,
+            )
+        if isinstance(ref, list):  # newer HF returns a list per image
+            ref = ref[0]
+        ref = ref.numpy()
+        assert int(lens[0]) == geo["n_tokens"]
+
+        gather_idx, valid = next_mod.packing_indices(cfg, geo, next_mod.max_image_tokens(cfg))
+        newline = model.model.image_newline.detach().numpy()
+        flat = np.concatenate([feats.reshape(-1, 48), newline[None]], 0)
+        ours = flat[gather_idx][: geo["n_tokens"]]
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6, err_msg=str(size))
+
+
+def test_greedy_generate_matches_hf(tiny_llava_next):
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(9)
+
+    # synthetic image 40x50 -> tiles via our anyres preprocessor
+    from PIL import Image
+
+    img = Image.fromarray(
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8), "RGB"
+    )
+    prep = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)
+    tiles, orig = prep(img)
+    geo = next_mod.image_geometry(orig, cfg)
+
+    input_ids = np.array([[1, 5, 9, 32, 11, 13]])
+    hf_ids = np.array([[1, 5, 9] + [32] * geo["n_tokens"] + [11, 13]])
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(hf_ids),
+            pixel_values=torch.from_numpy(tiles[None]).float(),
+            image_sizes=torch.tensor([list(orig)]),
+            attention_mask=torch.ones_like(torch.from_numpy(hf_ids)),
+            max_new_tokens=6,
+            do_sample=False,
+        )
+    ref_new = ref[0, hf_ids.shape[1] :].numpy()
+
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=6, eos_token_id=63, pad_token_id=63),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+    out = eng.generate(input_ids, tiles[None] if tiles.ndim == 3 else tiles, orig)
+    n = min(len(ref_new), out.num_tokens[0])
+    np.testing.assert_array_equal(out.tokens[0, :n], ref_new[:n])
+
+
+def test_ensemble_runs_with_validity_mask(tiny_llava_next):
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(10)
+    from PIL import Image
+
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    img = Image.fromarray((rng.random((30, 95, 3)) * 255).astype(np.uint8), "RGB")
+    prep = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)
+    tiles, orig = prep(img)
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis", mask_accumulate=False, topk=10),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=63, pad_token_id=63),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=True,
+        seed=506,
+    )
+    eng.param_dtype = jnp.float32
+    out = eng.generate(np.array([[1, 5, 32, 11]]), tiles, orig)
+    assert out.tokens.shape == (1, 4)
