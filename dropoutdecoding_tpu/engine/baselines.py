@@ -1,0 +1,285 @@
+"""Baseline samplers sharing the engine's towers: VCD and beam search.
+
+VCD (reference models/VCD/vcd_sample.py:24-223 — a monkey-patched HF
+sample loop running two models sequentially per step): here the clean and
+noised contexts are two batch rows of ONE decode program, each with its
+own slice of a stacked KV cache; the contrastive logit combination + the
+multinomial draw are fused into the same program.
+
+Beam search (the reference's beam baseline is plain HF `num_beams`,
+chair_test.py:295-305): standard batched beam decode — all beams are one
+batch axis, cache rows reordered by a gather at each step.  Finished beams
+propose only EOS continuations with frozen scores (length_penalty 1.0 /
+early_stopping False semantics; matches HF for the greedy-dominant
+captioning regime).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding.vcd import contrastive_logits, diffusion_noise
+from ..models import llama as llama_mod
+from ..models.llama import KVCache
+from .generate import GenerationResult
+
+
+# ---------------------------------------------------------------------------
+# VCD
+# ---------------------------------------------------------------------------
+
+def vcd_generate(engine, input_ids, pixel_values, seed: int = 0):
+    """Visual-contrastive decoding on a LlavaEngine.
+
+    Two prefills (clean / diffusion-noised pixels, noise step
+    gen.cd_noise_step — reference test_vcd.py:230 uses 500), then a single
+    jitted sampling loop over the stacked contexts.
+    """
+    gen = engine.gen
+    key = jax.random.key(seed)
+    k_noise, k_sample = jax.random.split(key)
+
+    pixels = jnp.asarray(pixel_values)
+    noised = diffusion_noise(k_noise, pixels, gen.cd_noise_step)
+    state = engine.prefill(input_ids, pixels)
+    state_cd = engine.prefill(input_ids, np.asarray(noised))
+
+    B = state.first_token.shape[0]
+    T = gen.max_new_tokens
+    cfg = engine.cfg
+
+    # stack contexts: rows [0:B] clean, [B:2B] noised
+    cache = KVCache(
+        jnp.concatenate([state.cache.k, state_cd.cache.k], axis=1),
+        jnp.concatenate([state.cache.v, state_cd.cache.v], axis=1),
+    )
+
+    first_logits = contrastive_logits(
+        state.last_logits, state_cd.last_logits, gen.cd_alpha, gen.cd_beta
+    )
+    first_token = jax.random.categorical(
+        jax.random.fold_in(k_sample, 0), first_logits, axis=-1
+    ).astype(jnp.int32)
+
+    @jax.jit
+    def loop(params, cache, cur_len, first_token):
+        tokens_buf = jnp.full((B, T), gen.pad_token_id, jnp.int32)
+        tokens_buf = tokens_buf.at[:, 0].set(first_token)
+        done = first_token == gen.eos_token_id
+        Smax = cache.k.shape[2]
+
+        def body(carry):
+            cache, cur, tok, step, buf, done = carry
+            x = llama_mod.embed(params.lm, tok)  # [B, D]
+            x2 = jnp.concatenate([x, x], axis=0)[:, None]  # [2B, 1, D]
+            cur2 = jnp.concatenate([cur, cur])
+            mask = (jnp.arange(Smax)[None, None, :] < cur2[:, None, None])
+            mask = jnp.broadcast_to(mask, (2 * B, 1, Smax))
+            h, k_new, v_new = llama_mod.decode_step(
+                params.lm, cfg.text, x2, cur2, cache, mask
+            )
+            logits2 = llama_mod.lm_head(params.lm, h)[:, 0]  # [2B, V]
+            cd = contrastive_logits(
+                logits2[:B], logits2[B:], gen.cd_alpha, gen.cd_beta
+            )
+            skey = jax.random.fold_in(jax.random.fold_in(k_sample, 1), step)
+            nxt = jax.random.categorical(skey, cd, axis=-1).astype(jnp.int32)
+            cache = KVCache(
+                cache.k.at[:, jnp.arange(2 * B), cur2].set(k_new[:, :, 0]),
+                cache.v.at[:, jnp.arange(2 * B), cur2].set(v_new[:, :, 0]),
+            )
+            nxt = jnp.where(done, gen.pad_token_id, nxt)
+            buf = buf.at[:, step].set(nxt)
+            new_done = done | (nxt == gen.eos_token_id)
+            return cache, cur + jnp.where(done, 0, 1), nxt, step + 1, buf, new_done
+
+        def cond(carry):
+            _, _, _, step, _, done = carry
+            return (step < T) & ~jnp.all(done)
+
+        carry = (cache, cur_len, first_token, jnp.ones((), jnp.int32), tokens_buf, done)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[4]
+
+    tokens = np.asarray(loop(engine.params, cache, state.cur_len, first_token))
+    eos = gen.eos_token_id
+    num = np.array(
+        [(np.where(r == eos)[0][0] + 1) if (r == eos).any() else len(r) for r in tokens]
+    )
+    return GenerationResult(tokens=tokens, num_tokens=num)
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+def beam_generate(engine, input_ids, pixel_values, num_beams: int = 3):
+    """Beam-search decode on a LlavaEngine (B=1 prompt).
+
+    Implements HF BeamSearchScorer semantics (length_penalty=1.0,
+    early_stopping=False): per step the top 2*nb candidates are scanned in
+    score order — EOS candidates with rank < nb become stored hypotheses
+    (without the EOS token appended, normalized by total sequence length),
+    others refill the nb active beams; the search ends when the worst
+    stored hypothesis can no longer be beaten by the best running beam.
+    """
+    gen = engine.gen
+    state = engine.prefill(input_ids, pixel_values)
+    assert state.first_token.shape[0] == 1, "beam search is per-prompt"
+    nb = num_beams
+    T = gen.max_new_tokens
+    cfg = engine.cfg
+    eos = gen.eos_token_id
+    NEG = -1e9
+
+    cache0 = KVCache(
+        jnp.repeat(state.cache.k, nb, axis=1), jnp.repeat(state.cache.v, nb, axis=1)
+    )
+    # first expansion from the prompt logits: HF takes top nb over vocab
+    # of [0 + logp, -inf + ...duplicated beams], i.e. simply top-nb tokens.
+    logp0 = jax.nn.log_softmax(state.last_logits[0])
+    top0, tok0 = jax.lax.top_k(logp0, nb)
+
+    @jax.jit
+    def loop(params, cache, cur_len0):
+        Smax = cache.k.shape[2]
+        prompt_len = cur_len0
+        buf = jnp.full((nb, T), gen.pad_token_id, jnp.int32)
+        buf = buf.at[:, 0].set(tok0)
+        scores = top0  # running sum-logprob per active beam
+        # stored hypotheses
+        hyp_tokens = jnp.full((nb, T), gen.pad_token_id, jnp.int32)
+        hyp_scores = jnp.full((nb,), -jnp.inf)
+        hyp_count = jnp.zeros((), jnp.int32)
+
+        def body(carry):
+            cache, cur, tok, step, buf, scores, hyp_tokens, hyp_scores, hyp_count = carry
+            x = llama_mod.embed(params.lm, tok)[:, None]
+            mask = jnp.broadcast_to(
+                jnp.arange(Smax)[None, None, :] < cur[:, None, None], (nb, 1, Smax)
+            )
+            h, k_new, v_new = llama_mod.decode_step(
+                params.lm, cfg.text, x, cur, cache, mask
+            )
+            cache = KVCache(
+                cache.k.at[:, jnp.arange(nb), cur].set(k_new[:, :, 0]),
+                cache.v.at[:, jnp.arange(nb), cur].set(v_new[:, :, 0]),
+            )
+            logits = llama_mod.lm_head(params.lm, h)[:, 0]  # [nb, V]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            V = logp.shape[-1]
+            total = scores[:, None] + logp
+            cand_scores, cand_idx = jax.lax.top_k(total.reshape(-1), 2 * nb)
+            cand_beam = cand_idx // V
+            cand_tok = (cand_idx % V).astype(jnp.int32)
+
+            # sequence length if this candidate finished now (prompt+gen),
+            # matching HF's normalization by input_ids length
+            seq_len = (prompt_len + step + 1).astype(jnp.float32)
+
+            def scan_cand(c, r):
+                (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel) = c
+                b = cand_beam[r]
+                t_ = cand_tok[r]
+                s = cand_scores[r]
+                is_eos = t_ == eos
+                # store hypothesis (eos, rank<nb, slots or better than worst)
+                norm = s / seq_len
+                worst = jnp.argmin(hyp_sc)
+                can_store = is_eos & (r < nb)
+                do_store = can_store & ((hcount < nb) | (norm > hyp_sc[worst]))
+                hyp_toks = jnp.where(
+                    do_store, hyp_toks.at[worst].set(buf[b]), hyp_toks
+                )
+                hyp_sc = jnp.where(do_store, hyp_sc.at[worst].set(norm), hyp_sc)
+                hcount = jnp.where(can_store, jnp.minimum(hcount + 1, nb), hcount)
+                # fill active slot with non-eos candidate
+                take = (~is_eos) & (nsel < nb)
+                slot = jnp.clip(nsel, 0, nb - 1)
+                sel_beam = jnp.where(take, sel_beam.at[slot].set(b), sel_beam)
+                sel_tok = jnp.where(take, sel_tok.at[slot].set(t_), sel_tok)
+                sel_score = jnp.where(take, sel_score.at[slot].set(s), sel_score)
+                nsel = jnp.where(take, nsel + 1, nsel)
+                return (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel), None
+
+            init = (
+                hyp_tokens,
+                hyp_scores,
+                hyp_count,
+                jnp.zeros((nb,), jnp.int32),
+                jnp.full((nb,), gen.pad_token_id, jnp.int32),
+                jnp.full((nb,), NEG),
+                jnp.zeros((), jnp.int32),
+            )
+            (hyp_tokens, hyp_scores, hyp_count, sel_beam, sel_tok, sel_score, _), _ = (
+                jax.lax.scan(scan_cand, init, jnp.arange(2 * nb))
+            )
+
+            cache = KVCache(cache.k[:, sel_beam], cache.v[:, sel_beam])
+            buf = buf[sel_beam].at[:, step].set(sel_tok)
+            return (
+                cache,
+                cur[sel_beam] + 1,
+                sel_tok,
+                step + 1,
+                buf,
+                sel_score,
+                hyp_tokens,
+                hyp_scores,
+                hyp_count,
+            )
+
+        def cond(carry):
+            _, cur, _, step, _, scores, _, hyp_scores, hyp_count = carry
+            # HF is_done (early_stopping=False): worst stored beats the best
+            # running beam's optimistic score sum/cur_len
+            seq_len = (prompt_len + step).astype(jnp.float32)
+            best_running = jnp.max(scores) / seq_len
+            search_done = (hyp_count >= nb) & (jnp.min(hyp_scores) >= best_running)
+            return (step < T) & ~search_done
+
+        cur = jnp.full((nb,), cur_len0, jnp.int32)
+        carry = (
+            cache,
+            cur,
+            tok0.astype(jnp.int32),
+            jnp.ones((), jnp.int32),
+            buf,
+            scores,
+            hyp_tokens,
+            hyp_scores,
+            hyp_count,
+        )
+        carry = jax.lax.while_loop(cond, body, carry)
+        _, _, _, step, buf, scores, hyp_tokens, hyp_scores, hyp_count = carry
+        # finalize: if under-filled, add running beams (HF finalize)
+        seq_len = (prompt_len + step).astype(jnp.float32)
+
+        def add_running(i, st):
+            hyp_toks, hyp_sc, hcount = st
+            norm = scores[i] / seq_len
+            worst = jnp.argmin(hyp_sc)
+            do = (hcount < nb) & (norm > hyp_sc[worst])
+            hyp_toks = jnp.where(do, hyp_toks.at[worst].set(buf[i]), hyp_toks)
+            hyp_sc = jnp.where(do, hyp_sc.at[worst].set(norm), hyp_sc)
+            hcount = jnp.where(do, hcount + 1, hcount)
+            return hyp_toks, hyp_sc, hcount
+
+        hyp_tokens, hyp_scores, hyp_count = jax.lax.fori_loop(
+            0, nb, add_running, (hyp_tokens, hyp_scores, hyp_count)
+        )
+        best = jnp.argmax(hyp_scores)
+        return hyp_tokens[best]
+
+    tokens = np.asarray(loop(engine.params, cache0, state.cur_len[0]))[None]
+    num = np.array(
+        [
+            (np.where(r == gen.pad_token_id)[0][0])
+            if (r == gen.pad_token_id).any()
+            else len(r)
+            for r in tokens
+        ]
+    )
+    num = np.maximum(num, 1)
+    return GenerationResult(tokens=tokens, num_tokens=num)

@@ -44,6 +44,7 @@ from ..utils.config import EnsembleConfig, GenerationConfig, LlavaConfig
 class PrefillState(NamedTuple):
     cache: KVCache
     cur_len: jax.Array  # [B] current cache fill (= merged prompt length)
+    last_logits: jax.Array  # [B, V] logits at the prompt's last position
     first_token: jax.Array  # [B] greedy token from the prompt's last logits
     epis: jax.Array  # [B, N] epistemic uncertainty per visual token
     topk_ids: jax.Array  # [B, N, k] text-projection table
@@ -125,6 +126,7 @@ class LlavaEngine:
         return PrefillState(
             cache=cache,
             cur_len=cur_len,
+            last_logits=last_logits,
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,

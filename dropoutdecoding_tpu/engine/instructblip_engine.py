@@ -57,6 +57,7 @@ class InstructBlipEngine(LlavaEngine):
         return PrefillState(
             cache=cache,
             cur_len=jnp.full((B,), S, jnp.int32),
+            last_logits=last_logits,
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,

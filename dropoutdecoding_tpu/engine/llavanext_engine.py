@@ -78,9 +78,8 @@ class LlavaNextEngine(LlavaEngine):
         uncert = vision_uncertainty(img_logits)
         _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
         last_hidden = hidden[0, real_len - 1]
-        first_token = jnp.argmax(
-            llama_mod.lm_head(params.lm, last_hidden[None]), axis=-1
-        ).astype(jnp.int32)
+        last_logits = llama_mod.lm_head(params.lm, last_hidden[None])
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         cache = KVCache.empty(cfg.text, B, self.max_len, self.param_dtype)
         cache = KVCache(
@@ -90,6 +89,7 @@ class LlavaNextEngine(LlavaEngine):
         return PrefillState(
             cache=cache,
             cur_len=jnp.full((B,), real_len, jnp.int32),
+            last_logits=last_logits,
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,

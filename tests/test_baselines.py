@@ -1,0 +1,73 @@
+"""Baseline samplers: beam search and VCD (reference vcd_sample.py /
+chair_test.py:295-334 beam path)."""
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.engine.baselines import beam_generate, vcd_generate
+from dropoutdecoding_tpu.engine.generate import LlavaEngine
+from dropoutdecoding_tpu.utils.config import GenerationConfig
+
+
+def _engine(cfg, params, **kw):
+    # eos/pad = 2: the HF tiny model's config default, so beam termination
+    # agrees between the implementations
+    defaults = dict(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=8, eos_token_id=2, pad_token_id=2),
+        max_len=64,
+        ensemble=False,
+    )
+    defaults.update(kw)
+    e = LlavaEngine(**defaults)
+    e.param_dtype = jnp.float32
+    return e
+
+
+def test_beam1_equals_greedy(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    greedy = eng.generate(input_ids, pixels)
+    beam = beam_generate(eng, input_ids, pixels, num_beams=1)
+    np.testing.assert_array_equal(greedy.tokens, beam.tokens)
+
+
+def test_beam3_matches_hf_beam_search(tiny_llava):
+    model, cfg, params, input_ids, expanded_ids, pixels = tiny_llava
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.from_numpy(expanded_ids),
+            pixel_values=torch.from_numpy(pixels),
+            attention_mask=torch.ones_like(torch.from_numpy(expanded_ids)),
+            max_new_tokens=8,
+            num_beams=3,
+            do_sample=False,
+            length_penalty=1.0,
+            early_stopping=False,
+        )
+    ref_new = ref[0, expanded_ids.shape[1] :].numpy()
+    eng = _engine(cfg, params)
+    out = beam_generate(eng, input_ids, pixels, num_beams=3)
+    n = min(len(ref_new), out.num_tokens[0])
+    np.testing.assert_array_equal(out.tokens[0, :n], ref_new[:n])
+
+
+def test_vcd_runs_and_respects_cutoff(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    out = vcd_generate(eng, input_ids, pixels, seed=7)
+    assert out.tokens.shape == (1, 8)
+    assert out.num_tokens[0] >= 1
+    assert (out.tokens >= 0).all() and (out.tokens < 64).all()
+
+
+def test_vcd_deterministic_per_seed(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    a = vcd_generate(eng, input_ids, pixels, seed=7)
+    b = vcd_generate(eng, input_ids, pixels, seed=7)
+    c = vcd_generate(eng, input_ids, pixels, seed=8)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    assert a.tokens.shape == c.tokens.shape

@@ -22,49 +22,6 @@ from dropoutdecoding_tpu.utils.config import (
 from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
 
 
-@pytest.fixture(scope="module")
-def tiny_llava():
-    from transformers import (
-        CLIPVisionConfig as HFVCfg,
-        LlamaConfig as HFLCfg,
-        LlavaConfig as HFLlavaCfg,
-        LlavaForConditionalGeneration,
-    )
-
-    torch.manual_seed(11)
-    hf_cfg = HFLlavaCfg(
-        vision_config=HFVCfg(
-            hidden_size=32,
-            intermediate_size=64,
-            num_hidden_layers=3,
-            num_attention_heads=4,
-            image_size=28,
-            patch_size=7,
-        ).to_dict(),
-        text_config=HFLCfg(
-            vocab_size=64,
-            hidden_size=48,
-            intermediate_size=96,
-            num_hidden_layers=2,
-            num_attention_heads=4,
-            num_key_value_heads=4,
-            max_position_embeddings=128,
-        ).to_dict(),
-        image_token_index=32,
-        vision_feature_layer=-2,
-        vision_feature_select_strategy="default",
-        attn_implementation="eager",
-    )
-    model = LlavaForConditionalGeneration(hf_cfg).eval().float()
-    cfg = LlavaConfig.from_hf_dict(hf_cfg.to_dict())
-    params = llava.params_from_hf(cfg, state_dict_from_torch_module(model), jnp.float32)
-    rng = np.random.default_rng(3)
-    input_ids = np.array([[1, 5, 9, 32, 11, 13, 17]])
-    expanded_ids = np.array([[1, 5, 9] + [32] * 16 + [11, 13, 17]])
-    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
-    return model, cfg, params, input_ids, expanded_ids, pixels
-
-
 def _engine(cfg, params, **kw):
     defaults = dict(
         cfg=cfg,
