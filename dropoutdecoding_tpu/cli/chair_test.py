@@ -162,7 +162,21 @@ def run_engine(engine, processor, model, prompt, image):
         )
     else:
         inputs = processor(prompt, image)
-        result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
+        if engine.gen.use_cd:
+            from ..engine.baselines import vcd_generate
+
+            result = vcd_generate(engine, inputs["input_ids"], inputs["pixel_values"])
+        elif not engine.ensemble and engine.gen.num_beams > 1:
+            from ..engine.baselines import beam_generate
+
+            result = beam_generate(
+                engine,
+                inputs["input_ids"],
+                inputs["pixel_values"],
+                num_beams=engine.gen.num_beams,
+            )
+        else:
+            result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
     return processor.decode(result.tokens[0][: result.num_tokens[0]])
 
 

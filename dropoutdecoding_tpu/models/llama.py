@@ -183,6 +183,12 @@ def prefill(
     cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)  # [B, S, Dh]
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]  # broadcast over heads
 
+    # Long sequences (LLaVA-NeXT multi-tile) use the Pallas blockwise
+    # kernel on TPU to avoid materializing [B, H, S, S] scores in HBM
+    # (SURVEY.md §7 hard part #5); short prefills stay on the dense path
+    # which XLA fuses well.
+    use_flash = S >= 1024 and jax.default_backend() == "tpu"
+
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q = jnp.einsum("bsd,de->bse", h, lp["q_proj"]).reshape(B, S, H, Dh)
@@ -190,8 +196,13 @@ def prefill(
         v = jnp.einsum("bsd,de->bse", h, lp["v_proj"]).reshape(B, S, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = prefill_attention(q, k, v, causal=True, key_mask=key_mask)
-        attn = jnp.einsum("bshe->bshe", attn).reshape(B, S, H * Dh)
+        if use_flash:
+            from ..ops.pallas_attention import flash_prefill_attention
+
+            attn = flash_prefill_attention(q, k, v, key_mask, causal=True)
+        else:
+            attn = prefill_attention(q, k, v, causal=True, key_mask=key_mask)
+        attn = attn.reshape(B, S, H * Dh)
         x = x + jnp.einsum("bse,ed->bsd", attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)

@@ -1,0 +1,60 @@
+"""Pallas kernels vs their jnp references (interpret mode — runs on the
+CPU test mesh; compiled-mode equivalence is exercised on TPU by bench.py
+and was verified bit-exact for the attention kernel)."""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    yield
+
+
+def test_fused_uncertainty_matches_reference(rng):
+    from dropoutdecoding_tpu.ops.pallas_uncertainty import vision_uncertainty_fused
+    from dropoutdecoding_tpu.ops.uncertainty import vision_uncertainty
+
+    logits = jnp.asarray((rng.normal(size=(2, 12, 2500)) * 3).astype(np.float32))
+    ref = vision_uncertainty(logits)
+    got = vision_uncertainty_fused(logits, interpret=True)
+    for k in ref:
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_flash_attention_matches_dense(rng):
+    from dropoutdecoding_tpu.ops.attention import prefill_attention
+    from dropoutdecoding_tpu.ops.pallas_attention import flash_prefill_attention
+
+    B, S, H, KH, D = 1, 200, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, S)) > 0.1)
+    ref = prefill_attention(q, k, v, causal=True, key_mask=mask)
+    got = flash_prefill_attention(q, k, v, mask, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_no_mask(rng):
+    from dropoutdecoding_tpu.ops.attention import prefill_attention
+    from dropoutdecoding_tpu.ops.pallas_attention import flash_prefill_attention
+
+    B, S, H, D = 1, 130, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    ref = prefill_attention(q, k, v, causal=True)
+    got = flash_prefill_attention(q, k, v, None, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
