@@ -123,53 +123,69 @@ def reference_style_step(engine, params, state):
     return step
 
 
+def run_once(n_layers):
+    cfg, params, mk = build(n_layers)
+    input_ids = np.array(
+        [[1] + list(range(4, 20)) + [cfg.image_token_index] + list(range(20, 36))],
+        np.int32,
+    )
+    pixels = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(np.float32)
+
+    greedy_engine = mk(False)
+    state = greedy_engine.prefill(input_ids, pixels)
+    _fetch(state.first_token)
+    greedy_tps = time_decode(greedy_engine, state, params)
+    print(f"greedy: {greedy_tps:.2f} t/s", file=sys.stderr, flush=True)
+    del greedy_engine
+
+    ens_engine = mk(True)
+    ens_tps = time_decode(ens_engine, state, params)
+    print(f"ensemble K=3: {ens_tps:.2f} t/s", file=sys.stderr, flush=True)
+
+    # reference-style sequential emulation
+    step = reference_style_step(ens_engine, params, state)
+    ck, cv = state.cache.k + 0, state.cache.v + 0
+    cur = state.cur_len
+    tok = state.first_token
+    ck, cv, tok = step(params, ck, cv, cur, tok)  # compile + cold run
+    _fetch(tok)
+    t0 = time.perf_counter()
+    n_steps = 4
+    for i in range(n_steps):
+        ck, cv, tok = step(params, ck, cv, cur + 1 + i, tok)
+        _fetch(tok)
+    ref_tps = n_steps / (time.perf_counter() - t0)
+    print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
+    return greedy_tps, ens_tps, ref_tps
+
+
 def main():
+    import gc
+
     import jax
-    import jax.numpy as jnp
 
     n_layers = 32
-    for attempt in range(3):
+    result = None
+    while n_layers >= 4:
         try:
-            cfg, params, mk = build(n_layers)
-            input_ids = np.array(
-                [[1] + list(range(4, 20)) + [cfg.image_token_index] + list(range(20, 36))],
-                np.int32,
-            )
-            pixels = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(np.float32)
-
-            ens_engine = mk(True)
-            state = ens_engine.prefill(input_ids, pixels)
-            _fetch(state.first_token)
-
-            ens_tps = time_decode(ens_engine, state, params)
-            print(f"ensemble: {ens_tps:.2f} t/s", file=sys.stderr, flush=True)
-
-            greedy_engine = mk(False)
-            greedy_tps = time_decode(greedy_engine, state, params)
-            print(f"greedy: {greedy_tps:.2f} t/s", file=sys.stderr, flush=True)
-
-            # reference-style sequential emulation
-            step = reference_style_step(ens_engine, params, state)
-            ck, cv = state.cache.k + 0, state.cache.v + 0
-            cur = state.cur_len
-            tok = state.first_token
-            ck, cv, tok = step(params, ck, cv, cur, tok)  # compile + cold run
-            _fetch(tok)
-            t0 = time.perf_counter()
-            n_steps = 4
-            for i in range(n_steps):
-                ck, cv, tok = step(params, ck, cv, cur + 1 + i, tok)
-                _fetch(tok)
-            ref_tps = n_steps / (time.perf_counter() - t0)
+            result = run_once(n_layers)
             break
         except Exception as e:  # OOM fallback: halve depth
             if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                print(
+                    f"OOM at {n_layers} layers; retrying with {n_layers // 2}",
+                    file=sys.stderr, flush=True,
+                )
                 n_layers //= 2
-                print(f"OOM at {n_layers*2} layers; retrying with {n_layers}", file=sys.stderr)
+                # drop device buffers still referenced by the exception
+                # frames / jit caches before retrying
+                jax.clear_caches()
+                gc.collect()
                 continue
             raise
-    else:
+    if result is None:
         raise RuntimeError("could not fit model")
+    greedy_tps, ens_tps, ref_tps = result
 
     ratio_vs_greedy = ens_tps / greedy_tps
     print(

@@ -60,6 +60,8 @@ def build_ensemble_config(args, model: str) -> EnsembleConfig:
         # (llavanext.py:547-551); the ablation for llava-1.5 is the
         # uncertainty-free random mask ('notext_sample' runs, SURVEY.md §6)
         policy = "epis_no_overlap" if model == "llava-next" else "random_image"
+    if getattr(args, "mask_policy", None):
+        policy = args.mask_policy  # explicit override (e.g. epis_kl)
     return EnsembleConfig(
         voting_probs=probs,
         use_avg=str2bool(args.avg),
@@ -102,6 +104,7 @@ def make_engine(args):
         gen=gen,
         ensemble=not (str2bool(args.original) or str2bool(args.vcd)),
         seed=args.seed if args.seed is not None else REFERENCE_SEEDS[model],
+        text_logits_mask=str2bool(getattr(args, "text_logit_mask", False)),
     )
 
     if model == "llava-1.5":
@@ -331,6 +334,21 @@ def build_parser():
     p.add_argument("--vcd", type=str2bool, default=False)
     p.add_argument("--use_random", type=str2bool, default=False)
     p.add_argument("--output-dir", type=str, default="./outputs")
+    # extensions beyond the reference CLI (documented in README):
+    p.add_argument(
+        "--mask-policy",
+        type=str,
+        default=None,
+        help="override the per-model mask policy (epis, epis_quantile, "
+        "epis_kl, epis_no_overlap, random_image, aggressive, keep_overlap)",
+    )
+    p.add_argument(
+        "--text-logit-mask",
+        type=str2bool,
+        default=False,
+        help="also mask generated-text positions by 1/max-logit "
+        "(the reference's 'logits' text-mask variant, llava.py:548-557)",
+    )
     return p
 
 

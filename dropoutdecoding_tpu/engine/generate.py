@@ -37,7 +37,10 @@ from ..decoding.masks import build_member_drop_mask, overlap_keep_mask
 from ..models import llama as llama_mod
 from ..models import llava as llava_mod
 from ..models.llama import KVCache
-from ..ops.uncertainty import lowest_percent_kl_indices_mask, vision_uncertainty
+from ..ops.uncertainty import (
+    lowest_percent_kl_indices_mask,
+    vision_uncertainty_auto,
+)
 from ..utils.config import EnsembleConfig, GenerationConfig, LlavaConfig
 
 
@@ -112,7 +115,7 @@ class LlavaEngine:
 
         hidden_img = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
         img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
-        uncert = vision_uncertainty(img_logits)
+        uncert = vision_uncertainty_auto(img_logits)
         _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)

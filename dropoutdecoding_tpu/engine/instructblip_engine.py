@@ -19,7 +19,7 @@ import numpy as np
 from ..models import instructblip as ib_mod
 from ..models import llama as llama_mod
 from ..models.llama import KVCache
-from ..ops.uncertainty import vision_uncertainty
+from ..ops.uncertainty import vision_uncertainty_auto
 from .generate import LlavaEngine, PrefillState
 
 
@@ -44,7 +44,7 @@ class InstructBlipEngine(LlavaEngine):
         hidden, kv = llama_mod.prefill(params.lm, cfg.text, merged, positions)
 
         img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
-        uncert = vision_uncertainty(img_logits)
+        uncert = vision_uncertainty_auto(img_logits)
         _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)

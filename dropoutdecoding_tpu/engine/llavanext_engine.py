@@ -23,7 +23,7 @@ import numpy as np
 from ..models import llama as llama_mod
 from ..models import llavanext as next_mod
 from ..models.llama import KVCache
-from ..ops.uncertainty import vision_uncertainty
+from ..ops.uncertainty import vision_uncertainty_auto
 from .generate import GenerationResult, LlavaEngine, PrefillState
 
 
@@ -75,7 +75,7 @@ class LlavaNextEngine(LlavaEngine):
             hidden[0], int(image_pos), N, axis=0
         )[None]
         img_logits = llama_mod.lm_head(params.lm, img_hidden)
-        uncert = vision_uncertainty(img_logits)
+        uncert = vision_uncertainty_auto(img_logits)
         _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
         last_hidden = hidden[0, real_len - 1]
         last_logits = llama_mod.lm_head(params.lm, last_hidden[None])

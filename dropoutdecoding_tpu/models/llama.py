@@ -149,10 +149,15 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
-    """fp32 logits (HF casts logits to float)."""
-    w = params["lm_head"].astype(jnp.float32)
+    """fp32 logits (HF casts logits to float).  The matmul runs in the
+    weights' dtype with fp32 MXU accumulation — no fp32 copy of the
+    [D, V] matrix is materialized."""
+    w = params["lm_head"]
     return jnp.einsum(
-        "...d,dv->...v", hidden.astype(jnp.float32), w, preferred_element_type=jnp.float32
+        "...d,dv->...v",
+        hidden.astype(w.dtype),
+        w,
+        preferred_element_type=jnp.float32,
     )
 
 

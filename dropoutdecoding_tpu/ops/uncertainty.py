@@ -59,6 +59,16 @@ def vision_uncertainty(logits: jax.Array) -> dict:
     }
 
 
+def vision_uncertainty_auto(logits: jax.Array) -> dict:
+    """Dispatch to the fused Pallas kernel on TPU (O(L) HBM traffic
+    instead of several [L, V] fp32 temporaries), jnp elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas_uncertainty import vision_uncertainty_fused
+
+        return vision_uncertainty_fused(logits)
+    return vision_uncertainty(logits)
+
+
 def entropy_varentropy(logits: jax.Array) -> tuple:
     """Entropy (base 2) and varentropy of one distribution.
 
