@@ -268,12 +268,8 @@ def main(args):
 
     from tqdm import tqdm
 
-    for img_file in tqdm(img_files):
+    def emit(img_file, text):
         img_id = int(img_file.split(".jpg")[0][-6:])
-        image = Image.open(
-            os.path.join(args.coco_data_dir, "val2014", img_file)
-        ).convert("RGB")
-        text = run_engine(engine, processor, model, PROMPTS[model], image)
         split = ANSWER_SPLIT[model]
         if split and split in text:
             text = text.split(split, 1)[-1]
@@ -284,6 +280,37 @@ def main(args):
         with open(captions_path, "a") as f:
             json.dump({"image_id": img_id, "caption": text}, f)
             f.write("\n")
+
+    batch = max(getattr(args, "batch_size", 1) or 1, 1)
+    if batch > 1 and model == "llava-1.5" and engine.ensemble:
+        # batched data-parallel path (identical prompt => identical merged
+        # lengths; the engine's batch axis shards on the mesh's "data" axis)
+        import numpy as _np
+
+        for start in tqdm(range(0, len(img_files), batch)):
+            group = img_files[start : start + batch]
+            ids_list, px_list = [], []
+            for img_file in group:
+                image = Image.open(
+                    os.path.join(args.coco_data_dir, "val2014", img_file)
+                ).convert("RGB")
+                inputs = processor(PROMPTS[model], image)
+                ids_list.append(inputs["input_ids"][0])
+                px_list.append(inputs["pixel_values"][0])
+            n_pad = batch - len(group)  # keep shapes static on the last group
+            for _ in range(n_pad):
+                ids_list.append(ids_list[-1])
+                px_list.append(px_list[-1])
+            result = engine.generate(_np.stack(ids_list), _np.stack(px_list))
+            for i, img_file in enumerate(group):
+                text = processor.decode(result.tokens[i][: result.num_tokens[i]])
+                emit(img_file, text)
+    else:
+        for img_file in tqdm(img_files):
+            image = Image.open(
+                os.path.join(args.coco_data_dir, "val2014", img_file)
+            ).convert("RGB")
+            emit(img_file, run_engine(engine, processor, model, PROMPTS[model], image))
 
     print("the result is saved into", args.output_dir, filename)
 
@@ -348,6 +375,13 @@ def build_parser():
         default=False,
         help="also mask generated-text positions by 1/max-logit "
         "(the reference's 'logits' text-mask variant, llava.py:548-557)",
+    )
+    p.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help="images per device batch (llava-1.5 dropout decoding; the "
+        "batch axis data-parallelizes across a mesh)",
     )
     return p
 

@@ -60,27 +60,29 @@ def build_questions(
             questions.append(make_q(qid, image["image"], pos, "yes"))
             qid += 1
 
+            candidates = [o for o in gt_list if o not in history and o not in objs]
+            if not candidates:
+                # vocabulary exhausted for this image (the reference's
+                # unbounded retry loop, utils.py:70-78/93-101, would hang
+                # here; real COCO's 80 categories never exhaust)
+                continue
             neg = None
             if neg_strategy == "random":
-                neg = rng.choice(gt_list)
-                while neg in history or neg in objs:
-                    neg = rng.choice(gt_list)
+                neg = rng.choice(candidates)
             elif neg_strategy == "popular":
                 for cand, _ in by_popularity:
-                    if cand not in history and cand not in objs:
+                    if cand in candidates:
                         neg = cand
                         break
             elif neg_strategy == "adversarial":
                 for cand in co_occur.get(pos, []):
-                    if cand not in history and cand not in objs:
+                    if cand in candidates:
                         neg = cand
                         break
             else:
                 raise ValueError(neg_strategy)
-            while neg is None:
-                cand = rng.choice(gt_list)
-                if cand not in history and cand not in objs:
-                    neg = cand
+            if neg is None:
+                neg = rng.choice(candidates)
             history.append(neg)
             questions.append(make_q(qid, image["image"], neg, "no"))
             qid += 1
