@@ -174,7 +174,20 @@ def run_once(n_layers):
     print(f"greedy: {greedy_tps:.2f} t/s", file=sys.stderr, flush=True)
 
     ens_tps = time_decode(ens_engine, state, params)
-    print(f"ensemble K=3: {ens_tps:.2f} t/s", file=sys.stderr, flush=True)
+    print(f"ensemble K=3 (exact): {ens_tps:.2f} t/s", file=sys.stderr, flush=True)
+
+    # fused single-stream mode (lagged overlap; EnsembleConfig.fused_step)
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig as _EC
+
+    fused_engine = mk(True)
+    fused_engine.ens = _EC(fused_step=True)
+    fused_engine.__post_init__()
+    fused_tps = time_decode(fused_engine, state, params)
+    print(
+        f"ensemble K=3 (fused): {fused_tps:.2f} t/s "
+        f"(={fused_tps / greedy_tps:.2f}x greedy throughput)",
+        file=sys.stderr, flush=True,
+    )
 
     step = reference_style_step(ens_engine, params)
     ck, cv = state.cache.k + 0, state.cache.v + 0
@@ -189,7 +202,7 @@ def run_once(n_layers):
         _fetch(tok)
     ref_tps = n_steps / (time.perf_counter() - t0)
     print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
-    return greedy_tps, ens_tps, ref_tps
+    return greedy_tps, ens_tps, fused_tps, ref_tps
 
 
 def main():
@@ -216,11 +229,12 @@ def main():
             raise
     if result is None:
         raise RuntimeError("could not fit model")
-    greedy_tps, ens_tps, ref_tps = result
+    greedy_tps, ens_tps, fused_tps, ref_tps = result
 
     print(
         f"layers={n_layers} greedy={greedy_tps:.2f} t/s "
         f"ensembleK3={ens_tps:.2f} t/s (={ens_tps / greedy_tps:.2f}x greedy) "
+        f"fusedK3={fused_tps:.2f} t/s "
         f"reference-style={ref_tps:.2f} t/s",
         file=sys.stderr,
     )

@@ -69,6 +69,7 @@ def build_ensemble_config(args, model: str) -> EnsembleConfig:
         mask_policy=policy,
         mask_accumulate=accumulate,
         topk=topk,
+        fused_step=str2bool(getattr(args, "fused_step", False)),
     )
 
 
@@ -382,6 +383,13 @@ def build_parser():
         default=1,
         help="images per device batch (llava-1.5 dropout decoding; the "
         "batch axis data-parallelizes across a mesh)",
+    )
+    p.add_argument(
+        "--fused-step",
+        type=str2bool,
+        default=False,
+        help="single-weight-stream decode step (~2x throughput); overlap "
+        "keep-set lags one step — see EnsembleConfig.fused_step",
     )
     return p
 

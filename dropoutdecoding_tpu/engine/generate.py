@@ -142,115 +142,120 @@ class LlavaEngine:
     # ------------------------------------------------------------------
     # decode
     # ------------------------------------------------------------------
+    def _member_drop_slots(
+        self, state, argmax_src, logits_for_kl, step, cur_len, text_prob_buf
+    ):
+        """Sample the K members' cache-slot drop masks [B, K, Smax] from an
+        argmax source (current step's unmasked argmax in exact mode,
+        previous step's in fused mode)."""
+        ens = self.ens
+        B = argmax_src.shape[0]
+        N = self.n_visual
+        Smax = self.max_len
+
+        overlap = jax.vmap(overlap_keep_mask)(argmax_src, state.topk_ids)  # [B,N]
+        kl_keep = None
+        if ens.mask_policy == "epis_kl":
+            kl_keep = jax.vmap(lowest_percent_kl_indices_mask)(
+                state.image_logits, logits_for_kl
+            )
+
+        step_key = jax.random.fold_in(jax.random.key(self.seed), step)
+
+        def member_masks(b_key, epis_b, overlap_b, kl_b, valid_b):
+            drops = []
+            prev = jnp.zeros((N,), bool)
+            for m, cap in enumerate(ens.voting_probs):
+                mk = jax.random.fold_in(b_key, m)
+                d = build_member_drop_mask(
+                    mk,
+                    ens.mask_policy,
+                    epis_b,
+                    cap,
+                    overlap_b,
+                    prev,
+                    ens.mask_accumulate,
+                    kl_keep=kl_b,
+                    floor=ens.prob_floor,
+                    valid=valid_b,
+                )
+                drops.append(d)
+                prev = d
+            return jnp.stack(drops)  # [K, N]
+
+        b_keys = jax.vmap(lambda b: jax.random.fold_in(step_key, b))(jnp.arange(B))
+        kl_arg = kl_keep if kl_keep is not None else jnp.zeros((B, N), bool)
+        drops = jax.vmap(member_masks)(
+            b_keys, state.epis, overlap, kl_arg, state.visual_mask
+        )
+        drops = drops & state.visual_mask[:, None, :]
+
+        # place drops into cache-slot space: slot s is visual token
+        # s - image_pos when in [image_pos, image_pos + n_img)
+        n_img = jnp.sum(state.visual_mask, axis=-1)  # [B] actual count
+        slots = jnp.arange(Smax)[None, :]  # [1, Smax]
+        in_span = (slots >= state.image_pos[:, None]) & (
+            slots < state.image_pos[:, None] + n_img[:, None]
+        )  # [B, Smax]
+        tok_idx = jnp.clip(slots - state.image_pos[:, None], 0, N - 1)
+        drop_slots = jnp.take_along_axis(drops, tok_idx[:, None, :], axis=2)
+        drop_slots = drop_slots & in_span[:, None, :]  # [B, K, Smax]
+
+        if self.text_logits_mask:
+            # "+ logit text-mask" variant (reference llava.py:548-557):
+            # mask generated-text positions with prob 1/max_logit of the
+            # step that emitted them; last 3 positions always attended.
+            gen_start = state.cur_len  # [B] prompt length
+            gidx = jnp.clip(slots - gen_start[:, None], 0, text_prob_buf.shape[1] - 1)
+            gprob = jnp.take_along_axis(text_prob_buf, gidx, axis=1)  # [B,Smax]
+            tkey = jax.random.fold_in(step_key, 7919)
+            tdrop = jax.random.uniform(tkey, (B, Smax)) < gprob
+            in_gen = (slots >= gen_start[:, None]) & (slots < cur_len[:, None] - 3)
+            drop_slots = drop_slots | (tdrop & in_gen)[:, None, :]
+        return drop_slots
+
     def _one_step(self, params, state, carry):
         """One ensemble decode step.  carry = (cache, cur_len, token, step,
-        tokens_buf, done, text_prob_buf)."""
+        tokens_buf, done, text_prob_buf, prev_argmax0)."""
         cfg, ens = self.cfg, self.ens
-        cache, cur_len, token, step, tokens_buf, done, text_prob_buf = carry
+        cache, cur_len, token, step, tokens_buf, done, text_prob_buf, prev_argmax0 = carry
         B = token.shape[0]
-        N = self.n_visual
         K = ens.k
         Smax = self.max_len
 
         x = llama_mod.embed(params.lm, token)  # [B, D]
         base_mask = jnp.arange(Smax)[None, :] < cur_len[:, None]  # [B, Smax]
 
-        # --- phase 1: unmasked forward (reference llava.py:294-305) ---
-        h0, k0, v0 = llama_mod.decode_step(
-            params.lm, cfg.text, x[:, None], cur_len, cache, base_mask[:, None]
-        )
-        logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]  # [B, V]
-        argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
-
-        if not self.ensemble:
-            # plain greedy: the unmasked member IS the output; store its KV.
-            next_token = argmax0.astype(jnp.int32)
-            kw, vw = k0[:, :, 0], v0[:, :, 0]
-        else:
-            # --- phase 2: member masks (decoding/masks.py) ---
-            overlap = jax.vmap(overlap_keep_mask)(argmax0, state.topk_ids)  # [B,N]
-            kl_keep = None
-            if ens.mask_policy == "epis_kl":
-                kl_keep = jax.vmap(lowest_percent_kl_indices_mask)(
-                    state.image_logits, logits0
-                )
-
-            step_key = jax.random.fold_in(jax.random.key(self.seed), step)
-
-            def member_masks(b_key, epis_b, overlap_b, kl_b, valid_b):
-                drops = []
-                prev = jnp.zeros((N,), bool)
-                for m, cap in enumerate(ens.voting_probs):
-                    mk = jax.random.fold_in(b_key, m)
-                    d = build_member_drop_mask(
-                        mk,
-                        ens.mask_policy,
-                        epis_b,
-                        cap,
-                        overlap_b,
-                        prev,
-                        ens.mask_accumulate,
-                        kl_keep=kl_b,
-                        floor=ens.prob_floor,
-                        valid=valid_b,
-                    )
-                    drops.append(d)
-                    prev = d
-                return jnp.stack(drops)  # [K, N]
-
-            b_keys = jax.vmap(lambda b: jax.random.fold_in(step_key, b))(
-                jnp.arange(B)
+        if self.ensemble and ens.fused_step:
+            # --- fused mode: ONE width-(K+1) forward; member 0 unmasked,
+            # members 1..K masked with the PREVIOUS step's overlap set
+            # (one weight stream per token; see EnsembleConfig.fused_step).
+            drop_slots = self._member_drop_slots(
+                state, prev_argmax0, state.last_logits, step, cur_len, text_prob_buf
             )
-            kl_arg = kl_keep if kl_keep is not None else jnp.zeros((B, N), bool)
-            drops = jax.vmap(member_masks)(
-                b_keys, state.epis, overlap, kl_arg, state.visual_mask
+            masks = jnp.concatenate(
+                [
+                    base_mask[:, None, :],
+                    base_mask[:, None, :] & ~drop_slots,
+                ],
+                axis=1,
+            )  # [B, K+1, Smax]
+            xa = jnp.broadcast_to(x[:, None], (B, K + 1, x.shape[-1]))
+            ha, ka, va = llama_mod.decode_step(
+                params.lm, cfg.text, xa, cur_len, cache, masks
             )
-            drops = drops & state.visual_mask[:, None, :]
-
-            # place drops into cache-slot space: slot s is visual token
-            # s - image_pos when in [image_pos, image_pos + n_img)
-            n_img = jnp.sum(state.visual_mask, axis=-1)  # [B] actual count
-            slots = jnp.arange(Smax)[None, :]  # [1, Smax]
-            in_span = (slots >= state.image_pos[:, None]) & (
-                slots < state.image_pos[:, None] + n_img[:, None]
-            )  # [B, Smax]
-            tok_idx = jnp.clip(slots - state.image_pos[:, None], 0, N - 1)
-            drop_slots = jnp.take_along_axis(drops, tok_idx[:, None, :], axis=2)
-            drop_slots = drop_slots & in_span[:, None, :]  # [B, K, Smax]
-
-            if self.text_logits_mask:
-                # "+ logit text-mask" variant (reference llava.py:548-557):
-                # mask generated-text positions with prob 1/max_logit of the
-                # step that emitted them; last 3 positions always attended.
-                gen_start = state.cur_len  # [B] prompt length
-                gidx = jnp.clip(slots - gen_start[:, None], 0, text_prob_buf.shape[1] - 1)
-                gprob = jnp.take_along_axis(text_prob_buf, gidx, axis=1)  # [B,Smax]
-                tkey = jax.random.fold_in(step_key, 7919)
-                tdrop = jax.random.uniform(tkey, (B, Smax)) < gprob
-                in_gen = (slots >= gen_start[:, None]) & (
-                    slots < cur_len[:, None] - 3
-                )
-                drop_slots = drop_slots | (tdrop & in_gen)[:, None, :]
-
-            member_mask = base_mask[:, None, :] & ~drop_slots  # [B, K, Smax]
-
-            # --- phase 3: batched masked members (one forward for all K) ---
-            xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
-            hk, kk, vk = llama_mod.decode_step(
-                params.lm, cfg.text, xk, cur_len, cache, member_mask
-            )
-            logits_k = llama_mod.lm_head(params.lm, hk)  # [B, K, V]
-
-            # --- phase 4: aggregate + winner-KV scatter ---
+            logits_all = llama_mod.lm_head(params.lm, ha)  # [B, K+1, V]
+            logits0 = logits_all[:, 0]
+            argmax0 = jnp.argmax(logits0, axis=-1)
+            logits_k = logits_all[:, 1:]
             agg = select_by_average if ens.use_avg else select_by_vote
             winner, next_token = jax.vmap(agg)(logits_k)
             next_token = next_token.astype(jnp.int32)
-            # winner K/V: [L, B, K, KH, D] -> [L, B, KH, D]
             kw = jnp.take_along_axis(
-                kk, winner[None, :, None, None, None], axis=2
+                ka, (winner + 1)[None, :, None, None, None], axis=2
             )[:, :, 0]
             vw = jnp.take_along_axis(
-                vk, winner[None, :, None, None, None], axis=2
+                va, (winner + 1)[None, :, None, None, None], axis=2
             )[:, :, 0]
             winner_logits = jnp.take_along_axis(
                 logits_k, winner[:, None, None], axis=1
@@ -258,6 +263,48 @@ class LlavaEngine:
             text_prob_buf = text_prob_buf.at[:, step].set(
                 1.0 / jnp.max(winner_logits, axis=-1)
             )
+        else:
+            # --- phase 1: unmasked forward (reference llava.py:294-305) ---
+            h0, k0, v0 = llama_mod.decode_step(
+                params.lm, cfg.text, x[:, None], cur_len, cache, base_mask[:, None]
+            )
+            logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]  # [B, V]
+            argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
+
+            if not self.ensemble:
+                # plain greedy: the unmasked member IS the output.
+                next_token = argmax0.astype(jnp.int32)
+                kw, vw = k0[:, :, 0], v0[:, :, 0]
+            else:
+                # --- phases 2-3: masks from the CURRENT unmasked argmax
+                # (reference llava.py:305->345), then the K-member batch ---
+                drop_slots = self._member_drop_slots(
+                    state, argmax0, logits0, step, cur_len, text_prob_buf
+                )
+                member_mask = base_mask[:, None, :] & ~drop_slots  # [B,K,Smax]
+                xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
+                hk, kk, vk = llama_mod.decode_step(
+                    params.lm, cfg.text, xk, cur_len, cache, member_mask
+                )
+                logits_k = llama_mod.lm_head(params.lm, hk)  # [B, K, V]
+
+                # --- phase 4: aggregate + winner-KV scatter ---
+                agg = select_by_average if ens.use_avg else select_by_vote
+                winner, next_token = jax.vmap(agg)(logits_k)
+                next_token = next_token.astype(jnp.int32)
+                # winner K/V: [L, B, K, KH, D] -> [L, B, KH, D]
+                kw = jnp.take_along_axis(
+                    kk, winner[None, :, None, None, None], axis=2
+                )[:, :, 0]
+                vw = jnp.take_along_axis(
+                    vk, winner[None, :, None, None, None], axis=2
+                )[:, :, 0]
+                winner_logits = jnp.take_along_axis(
+                    logits_k, winner[:, None, None], axis=1
+                )[:, 0]
+                text_prob_buf = text_prob_buf.at[:, step].set(
+                    1.0 / jnp.max(winner_logits, axis=-1)
+                )
 
         cache = KVCache(
             cache.k.at[:, jnp.arange(B), cur_len].set(kw),
@@ -276,6 +323,7 @@ class LlavaEngine:
             tokens_buf,
             done,
             text_prob_buf,
+            argmax0,
         )
 
     def _decode_loop_impl(self, params, state: PrefillState):
@@ -294,17 +342,19 @@ class LlavaEngine:
             tokens_buf,
             done,
             text_prob_buf,
+            # prefill's unmasked argmax == first_token (fused-mode overlap
+            # source for the first decode step)
+            state.first_token.astype(jnp.int32),
         )
 
         def cond(c):
-            _, _, _, step, _, d, _ = c
-            return (step < T) & ~jnp.all(d)
+            return (c[3] < T) & ~jnp.all(c[5])
 
         def body(c):
             return self._one_step(params, state, c)
 
         carry = jax.lax.while_loop(cond, body, carry)
-        _, cur_len, _, steps, tokens_buf, done, _ = carry
+        tokens_buf, steps = carry[4], carry[3]
         return tokens_buf, steps
 
     # ------------------------------------------------------------------

@@ -280,6 +280,14 @@ class EnsembleConfig:
     mask_accumulate: bool = True
     topk: int = 5
     prob_floor: float = 0.1
+    # Performance mode: fuse the unmasked forward and the K masked members
+    # into ONE width-(K+1) forward per step (one weight stream instead of
+    # two).  Exact reference semantics need the CURRENT step's unmasked
+    # argmax for the overlap keep-set (llava.py:305->345), which forces two
+    # sequential forwards; fused mode uses the PREVIOUS step's unmasked
+    # argmax instead (one-step lag in the overlap restore only — the epis
+    # Bernoulli masks are unchanged).  ~2x decode throughput.
+    fused_step: bool = False
 
     @property
     def k(self) -> int:

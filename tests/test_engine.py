@@ -90,6 +90,32 @@ def test_prefill_state_fields(tiny_llava):
     assert np.all(np.asarray(st.uncertainty["alea_uncert_per_token"]) >= 0)
 
 
+def test_fused_step_none_policy_equals_greedy(tiny_llava):
+    """Fused (single weight stream) mode with no masking must still equal
+    greedy — exercises the width-(K+1) path and lagged-overlap plumbing."""
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    greedy = _engine(cfg, params, ensemble=False).generate(input_ids, pixels)
+    fused = _engine(
+        cfg,
+        params,
+        ensemble=True,
+        ens=EnsembleConfig(mask_policy="none", fused_step=True),
+    ).generate(input_ids, pixels)
+    np.testing.assert_array_equal(greedy.tokens, fused.tokens)
+
+
+def test_fused_step_epis_runs(tiny_llava):
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    out = _engine(
+        cfg,
+        params,
+        ensemble=True,
+        ens=EnsembleConfig(mask_policy="epis", fused_step=True),
+    ).generate(input_ids, pixels)
+    assert out.tokens.shape == (1, 8)
+    assert out.num_tokens[0] >= 1
+
+
 def test_use_avg_aggregation(tiny_llava):
     _, cfg, params, input_ids, _, pixels = tiny_llava
     out = _engine(
