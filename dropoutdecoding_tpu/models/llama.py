@@ -191,8 +191,26 @@ def prefill(
     # Long sequences (LLaVA-NeXT multi-tile) use the Pallas blockwise
     # kernel on TPU to avoid materializing [B, H, S, S] scores in HBM
     # (SURVEY.md §7 hard part #5); short prefills stay on the dense path
-    # which XLA fuses well.
-    use_flash = S >= 1024 and jax.default_backend() == "tpu"
+    # which XLA fuses well.  platform_dependent keeps the choice tied to
+    # the lowering platform (CPU test meshes never see the TPU kernel).
+    use_flash = S >= 1024
+
+    def _attend(q, k, v):
+        if not use_flash:
+            return prefill_attention(q, k, v, causal=True, key_mask=key_mask)
+
+        def tpu_impl(q, k, v):
+            from ..ops.pallas_attention import flash_prefill_attention
+
+            return flash_prefill_attention(q, k, v, key_mask, causal=True)
+
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=tpu_impl,
+            default=lambda q, k, v: prefill_attention(
+                q, k, v, causal=True, key_mask=key_mask
+            ),
+        )
 
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
@@ -201,12 +219,7 @@ def prefill(
         v = jnp.einsum("bsd,de->bse", h, lp["v_proj"]).reshape(B, S, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if use_flash:
-            from ..ops.pallas_attention import flash_prefill_attention
-
-            attn = flash_prefill_attention(q, k, v, key_mask, causal=True)
-        else:
-            attn = prefill_attention(q, k, v, causal=True, key_mask=key_mask)
+        attn = _attend(q, k, v)
         attn = attn.reshape(B, S, H * Dh)
         x = x + jnp.einsum("bse,ed->bsd", attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)

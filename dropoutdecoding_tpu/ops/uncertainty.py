@@ -61,12 +61,20 @@ def vision_uncertainty(logits: jax.Array) -> dict:
 
 def vision_uncertainty_auto(logits: jax.Array) -> dict:
     """Dispatch to the fused Pallas kernel on TPU (O(L) HBM traffic
-    instead of several [L, V] fp32 temporaries), jnp elsewhere."""
-    if jax.default_backend() == "tpu":
+    instead of several [L, V] fp32 temporaries), jnp elsewhere.
+
+    Uses ``lax.platform_dependent`` so the choice follows the LOWERING
+    platform, not the process default backend (this container's TPU plugin
+    stays default even when a program targets the CPU mesh)."""
+
+    def tpu_impl(x):
         from .pallas_uncertainty import vision_uncertainty_fused
 
-        return vision_uncertainty_fused(logits)
-    return vision_uncertainty(logits)
+        return vision_uncertainty_fused(x)
+
+    return jax.lax.platform_dependent(
+        logits, tpu=tpu_impl, default=vision_uncertainty
+    )
 
 
 def entropy_varentropy(logits: jax.Array) -> tuple:
