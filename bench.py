@@ -34,21 +34,20 @@ import numpy as np
 DECODE_TOKENS = 16
 PROMPT_LEN = 576 + 32  # visual span + text
 K = 3
+EnsembleConfigK8 = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 
 
 def _fetch(x):
     return np.asarray(x)
 
 
-def build_state(engine, cfg, key):
+def build_state(engine, cfg, key, B=1):
     """Synthetic post-prefill state with realistic shapes/dtypes."""
     import jax
     import jax.numpy as jnp
 
     from dropoutdecoding_tpu.engine.generate import PrefillState
     from dropoutdecoding_tpu.models.llama import KVCache
-
-    B = 1
     N = cfg.vision.num_patches
     V = cfg.text.vocab_size
     Smax = engine.max_len
@@ -77,6 +76,7 @@ def build_state(engine, cfg, key):
         image_logits=jax.random.normal(ks[5], (B, N, V), jnp.float32) * 0.0,
         image_pos=jnp.full((B,), 5, jnp.int32),
         visual_mask=jnp.ones((B, N), bool),
+        probe_ids=jnp.full((B, 8), -1, jnp.int32),
         uncertainty={},
     )
 
@@ -202,6 +202,25 @@ def run_once(n_layers):
         _fetch(tok)
     ref_tps = n_steps / (time.perf_counter() - t0)
     print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
+
+    # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote
+    try:
+        k8 = mk(True)
+        k8.ens = _EC(
+            voting_probs=tuple(EnsembleConfigK8), fused_step=True
+        )
+        k8.__post_init__()
+        state16 = build_state(k8, cfg, jax.random.key(2), B=16)
+        _fetch(state16.first_token)
+        per_stream = time_decode(k8, state16, params)
+        print(
+            f"batch16 x K=8 fused: {per_stream * 16:.2f} total tokens/s "
+            f"({per_stream:.2f} t/s per caption stream; "
+            f"{per_stream / greedy_tps:.2f}x single-stream greedy rate)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
     return greedy_tps, ens_tps, fused_tps, ref_tps
 
 

@@ -282,6 +282,11 @@ def main(args):
             json.dump({"image_id": img_id, "caption": text}, f)
             f.write("\n")
 
+    from ..engine.trace import StageTimer, profile_trace
+
+    timer = StageTimer()
+    profile_dir = getattr(args, "profile_dir", None)
+
     batch = max(getattr(args, "batch_size", 1) or 1, 1)
     if batch > 1 and model == "llava-1.5" and engine.ensemble:
         # batched data-parallel path (identical prompt => identical merged
@@ -307,13 +312,21 @@ def main(args):
                 text = processor.decode(result.tokens[i][: result.num_tokens[i]])
                 emit(img_file, text)
     else:
-        for img_file in tqdm(img_files):
-            image = Image.open(
-                os.path.join(args.coco_data_dir, "val2014", img_file)
-            ).convert("RGB")
-            emit(img_file, run_engine(engine, processor, model, PROMPTS[model], image))
+        with profile_trace(profile_dir):
+            for img_file in tqdm(img_files):
+                with timer.stage("load_image"):
+                    image = Image.open(
+                        os.path.join(args.coco_data_dir, "val2014", img_file)
+                    ).convert("RGB")
+                with timer.stage("generate"):
+                    text = run_engine(engine, processor, model, PROMPTS[model], image)
+                emit(img_file, text)
 
     print("the result is saved into", args.output_dir, filename)
+    if timer.totals:
+        report = timer.report()
+        print("stage timings:", json.dumps(report))
+        timer.dump(os.path.join(args.output_dir, "stage_timings.json"))
 
     # --- scoring (reference chair_test.py:375-460) ---
     with open(captions_path) as f:
@@ -390,6 +403,12 @@ def build_parser():
         default=False,
         help="single-weight-stream decode step (~2x throughput); overlap "
         "keep-set lags one step — see EnsembleConfig.fused_step",
+    )
+    p.add_argument(
+        "--profile-dir",
+        type=str,
+        default=None,
+        help="write a jax.profiler trace (TensorBoard/XProf) to this dir",
     )
     return p
 

@@ -70,6 +70,24 @@ def overlap_keep_mask(argmax_id: jax.Array, topk_ids: jax.Array) -> jax.Array:
     return jnp.any(topk_ids == argmax_id, axis=-1)
 
 
+def overlap_keep_mask_multi(probe_ids: jax.Array, topk_ids: jax.Array) -> jax.Array:
+    """Union of keep-sets over several probe token ids (the reference's
+    "VQA" method loops get_overlap_image_tokens over the POPE probe words,
+    llava.py:519-538; probe capture instructblip.py:653-659).
+
+    Args:
+      probe_ids: [P] token ids, -1 = padding.
+      topk_ids: [N, k].
+    Returns:
+      [N] bool keep mask.
+    """
+    valid = probe_ids >= 0  # [P]
+    hits = jnp.any(
+        topk_ids[:, None, :] == probe_ids[None, :, None], axis=-1
+    )  # [N, P]
+    return jnp.any(hits & valid[None, :], axis=-1)
+
+
 def build_member_drop_mask(
     key: jax.Array,
     policy: str,
@@ -129,7 +147,9 @@ def build_member_drop_mask(
         drop = jax.random.uniform(key, (N,)) < prob_cap
         if accumulate:
             drop = drop | prev_drop
-    elif policy == "keep_overlap":
+    elif policy in ("keep_overlap", "vqa"):
+        # "vqa" differs only in how the caller builds overlap_keep (union
+        # over probe ids via overlap_keep_mask_multi)
         drop = (jax.random.uniform(key, (N,)) < prob_cap) & ~overlap_keep
     elif policy == "aggressive":
         # Fixed-count random subset.  The reference additionally freezes the

@@ -44,6 +44,28 @@ from ..ops.uncertainty import (
 from ..utils.config import EnsembleConfig, GenerationConfig, LlavaConfig
 
 
+def extract_probe_ids(input_ids: jax.Array, marker: int = 727, max_probes: int = 8):
+    """Token ids following the first `marker` ('?') token — the reference's
+    POPE probe-word capture (instructblip.py:653-659).  -1 padded."""
+    B, S = input_ids.shape
+    pos = jnp.argmax(input_ids == marker, axis=1)  # [B]
+    has = jnp.any(input_ids == marker, axis=1)
+    gather = pos[:, None] + 1 + jnp.arange(max_probes)[None]
+    valid = has[:, None] & (gather < S)
+    ids = jnp.take_along_axis(input_ids, jnp.clip(gather, 0, S - 1), axis=1)
+    return jnp.where(valid, ids, -1).astype(jnp.int32)
+
+
+class TextMaskState(NamedTuple):
+    """Per-generated-position statistics for the text-mask policies
+    (reference logits_mask_prob / token_entropies / token_ventropies,
+    llava.py:62-67, instructblip.py:141-144)."""
+
+    prob: jax.Array  # [B, T] 1/max-logit of the step that emitted position
+    ent: jax.Array  # [B, T] entropy (base 2)
+    vent: jax.Array  # [B, T] varentropy
+
+
 class PrefillState(NamedTuple):
     cache: KVCache
     cur_len: jax.Array  # [B] current cache fill (= merged prompt length)
@@ -54,12 +76,26 @@ class PrefillState(NamedTuple):
     image_logits: jax.Array  # [B, N, V] visual-token logits (for epis_kl)
     image_pos: jax.Array  # [B] start of the visual span
     visual_mask: jax.Array  # [B, N] validity (LLaVA-NeXT pads N to a max)
+    probe_ids: jax.Array  # [B, P] VQA probe token ids (-1 pad; "vqa" policy)
     uncertainty: dict  # full uncertainty dict (diagnostics)
 
 
 class GenerationResult(NamedTuple):
     tokens: np.ndarray  # [B, T] generated tokens (eos-padded)
     num_tokens: np.ndarray  # [B]
+
+
+def _record_text_stats(tm: TextMaskState, step, winner_logits) -> TextMaskState:
+    """Record 1/max-logit + entropy/varentropy of the emitting step
+    (reference llava.py:366-369 / instructblip.py:141-144)."""
+    from ..ops.uncertainty import entropy_varentropy
+
+    ent, vent = jax.vmap(entropy_varentropy)(winner_logits)
+    return TextMaskState(
+        prob=tm.prob.at[:, step].set(1.0 / jnp.max(winner_logits, axis=-1)),
+        ent=tm.ent.at[:, step].set(ent),
+        vent=tm.vent.at[:, step].set(vent),
+    )
 
 
 @dataclass
@@ -79,6 +115,7 @@ class LlavaEngine:
     seed: int = 24
     ensemble: bool = True  # False => plain greedy ("--original")
     text_logits_mask: bool = False  # the "+ logit text-mask" variant
+    text_mask_policy: str = "none"  # "none" | "logits" | "entropy"
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -136,6 +173,7 @@ class LlavaEngine:
             image_logits=img_logits,
             image_pos=image_pos,
             visual_mask=jnp.ones((B, N), bool),
+            probe_ids=extract_probe_ids(input_ids),
             uncertainty=uncert,
         )
 
@@ -143,7 +181,7 @@ class LlavaEngine:
     # decode
     # ------------------------------------------------------------------
     def _member_drop_slots(
-        self, state, argmax_src, logits_for_kl, step, cur_len, text_prob_buf
+        self, state, argmax_src, logits_for_kl, step, cur_len, tm
     ):
         """Sample the K members' cache-slot drop masks [B, K, Smax] from an
         argmax source (current step's unmasked argmax in exact mode,
@@ -153,7 +191,14 @@ class LlavaEngine:
         N = self.n_visual
         Smax = self.max_len
 
-        overlap = jax.vmap(overlap_keep_mask)(argmax_src, state.topk_ids)  # [B,N]
+        if ens.mask_policy == "vqa":
+            from ..decoding.masks import overlap_keep_mask_multi
+
+            overlap = jax.vmap(overlap_keep_mask_multi)(
+                state.probe_ids, state.topk_ids
+            )
+        else:
+            overlap = jax.vmap(overlap_keep_mask)(argmax_src, state.topk_ids)
         kl_keep = None
         if ens.mask_policy == "epis_kl":
             kl_keep = jax.vmap(lowest_percent_kl_indices_mask)(
@@ -201,24 +246,36 @@ class LlavaEngine:
         drop_slots = jnp.take_along_axis(drops, tok_idx[:, None, :], axis=2)
         drop_slots = drop_slots & in_span[:, None, :]  # [B, K, Smax]
 
-        if self.text_logits_mask:
-            # "+ logit text-mask" variant (reference llava.py:548-557):
-            # mask generated-text positions with prob 1/max_logit of the
-            # step that emitted them; last 3 positions always attended.
+        text_policy = "logits" if self.text_logits_mask else self.text_mask_policy
+        if text_policy != "none":
+            # text-position masking over generated tokens; last 3 positions
+            # always attended (reference llava.py:548-569)
             gen_start = state.cur_len  # [B] prompt length
-            gidx = jnp.clip(slots - gen_start[:, None], 0, text_prob_buf.shape[1] - 1)
-            gprob = jnp.take_along_axis(text_prob_buf, gidx, axis=1)  # [B,Smax]
+            T = tm.prob.shape[1]
+            gidx = jnp.clip(slots - gen_start[:, None], 0, T - 1)
+            gprob = jnp.take_along_axis(tm.prob, gidx, axis=1)  # [B, Smax]
             tkey = jax.random.fold_in(step_key, 7919)
-            tdrop = jax.random.uniform(tkey, (B, Smax)) < gprob
+            u = jax.random.uniform(tkey, (B, Smax))
+            if text_policy == "logits":
+                # drop with prob 1/max_logit of the emitting step
+                tdrop = u < gprob
+            else:  # "entropy" (reference llava.py:558-569)
+                ent = jnp.take_along_axis(tm.ent, gidx, axis=1)
+                vent = jnp.take_along_axis(tm.vent, gidx, axis=1)
+                low = (ent < 0.1) & (vent < 0.1)  # confident: force attend
+                high = (ent > 5.0) & (vent > 5.0)  # chaotic: coin flip
+                tdrop = jnp.where(
+                    low, False, jnp.where(high, u <= 0.5, u < gprob)
+                )
             in_gen = (slots >= gen_start[:, None]) & (slots < cur_len[:, None] - 3)
             drop_slots = drop_slots | (tdrop & in_gen)[:, None, :]
         return drop_slots
 
     def _one_step(self, params, state, carry):
         """One ensemble decode step.  carry = (cache, cur_len, token, step,
-        tokens_buf, done, text_prob_buf, prev_argmax0)."""
+        tokens_buf, done, tm: TextMaskState, prev_argmax0)."""
         cfg, ens = self.cfg, self.ens
-        cache, cur_len, token, step, tokens_buf, done, text_prob_buf, prev_argmax0 = carry
+        cache, cur_len, token, step, tokens_buf, done, tm, prev_argmax0 = carry
         B = token.shape[0]
         K = ens.k
         Smax = self.max_len
@@ -231,7 +288,7 @@ class LlavaEngine:
             # members 1..K masked with the PREVIOUS step's overlap set
             # (one weight stream per token; see EnsembleConfig.fused_step).
             drop_slots = self._member_drop_slots(
-                state, prev_argmax0, state.last_logits, step, cur_len, text_prob_buf
+                state, prev_argmax0, state.last_logits, step, cur_len, tm
             )
             masks = jnp.concatenate(
                 [
@@ -260,9 +317,7 @@ class LlavaEngine:
             winner_logits = jnp.take_along_axis(
                 logits_k, winner[:, None, None], axis=1
             )[:, 0]
-            text_prob_buf = text_prob_buf.at[:, step].set(
-                1.0 / jnp.max(winner_logits, axis=-1)
-            )
+            tm = _record_text_stats(tm, step, winner_logits)
         else:
             # --- phase 1: unmasked forward (reference llava.py:294-305) ---
             h0, k0, v0 = llama_mod.decode_step(
@@ -279,7 +334,7 @@ class LlavaEngine:
                 # --- phases 2-3: masks from the CURRENT unmasked argmax
                 # (reference llava.py:305->345), then the K-member batch ---
                 drop_slots = self._member_drop_slots(
-                    state, argmax0, logits0, step, cur_len, text_prob_buf
+                    state, argmax0, logits0, step, cur_len, tm
                 )
                 member_mask = base_mask[:, None, :] & ~drop_slots  # [B,K,Smax]
                 xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
@@ -302,9 +357,7 @@ class LlavaEngine:
                 winner_logits = jnp.take_along_axis(
                     logits_k, winner[:, None, None], axis=1
                 )[:, 0]
-                text_prob_buf = text_prob_buf.at[:, step].set(
-                    1.0 / jnp.max(winner_logits, axis=-1)
-                )
+                tm = _record_text_stats(tm, step, winner_logits)
 
         cache = KVCache(
             cache.k.at[:, jnp.arange(B), cur_len].set(kw),
@@ -322,7 +375,7 @@ class LlavaEngine:
             step + 1,
             tokens_buf,
             done,
-            text_prob_buf,
+            tm,
             argmax0,
         )
 
@@ -332,7 +385,11 @@ class LlavaEngine:
         tokens_buf = jnp.full((B, T), self.gen.pad_token_id, jnp.int32)
         tokens_buf = tokens_buf.at[:, 0].set(state.first_token)
         done = state.first_token == self.gen.eos_token_id
-        text_prob_buf = jnp.zeros((B, T), jnp.float32)
+        tm0 = TextMaskState(
+            prob=jnp.zeros((B, T), jnp.float32),
+            ent=jnp.zeros((B, T), jnp.float32),
+            vent=jnp.zeros((B, T), jnp.float32),
+        )
 
         carry = (
             state.cache,
@@ -341,7 +398,7 @@ class LlavaEngine:
             jnp.ones((), jnp.int32),  # step index into tokens_buf
             tokens_buf,
             done,
-            text_prob_buf,
+            tm0,
             # prefill's unmasked argmax == first_token (fused-mode overlap
             # source for the first decode step)
             state.first_token.astype(jnp.int32),

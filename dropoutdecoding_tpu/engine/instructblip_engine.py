@@ -20,7 +20,7 @@ from ..models import instructblip as ib_mod
 from ..models import llama as llama_mod
 from ..models.llama import KVCache
 from ..ops.uncertainty import vision_uncertainty_auto
-from .generate import LlavaEngine, PrefillState
+from .generate import LlavaEngine, PrefillState, extract_probe_ids
 
 
 @dataclass
@@ -64,6 +64,7 @@ class InstructBlipEngine(LlavaEngine):
             image_logits=img_logits,
             image_pos=jnp.zeros((B,), jnp.int32),
             visual_mask=jnp.ones((B, N), bool),
+            probe_ids=extract_probe_ids(input_ids),
             uncertainty=uncert,
         )
 

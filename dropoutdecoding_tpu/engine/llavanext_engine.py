@@ -24,7 +24,7 @@ from ..models import llama as llama_mod
 from ..models import llavanext as next_mod
 from ..models.llama import KVCache
 from ..ops.uncertainty import vision_uncertainty_auto
-from .generate import GenerationResult, LlavaEngine, PrefillState
+from .generate import GenerationResult, LlavaEngine, PrefillState, extract_probe_ids
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,6 +96,7 @@ class LlavaNextEngine(LlavaEngine):
             image_logits=img_logits,
             image_pos=jnp.full((B,), int(image_pos), jnp.int32),
             visual_mask=valid[None],
+            probe_ids=extract_probe_ids(input_ids),
             uncertainty=uncert,
         )
 

@@ -67,14 +67,21 @@ def params_from_hf(cfg: LlavaConfig, sd: dict, dtype=jnp.bfloat16) -> LlavaParam
     )
 
 
-def load(model_dir: str, dtype=jnp.bfloat16):
-    """Load config + weights from an HF checkpoint directory (safetensors)."""
+def load(model_dir: str, dtype=jnp.bfloat16, cache: bool = True):
+    """Load config + weights from an HF checkpoint directory (safetensors),
+    with a converted-pytree cache (utils/cache.py) so repeat runs skip the
+    torch->jax conversion."""
+    from ..utils.cache import load_or_convert
     from ..utils.hf_io import load_state_dict
 
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = LlavaConfig.from_hf_dict(json.load(f))
-    sd = load_state_dict(model_dir)
-    return cfg, params_from_hf(cfg, sd, dtype)
+
+    def convert():
+        return params_from_hf(cfg, load_state_dict(model_dir), dtype)._asdict()
+
+    tree = load_or_convert(model_dir, convert, dtype, enable=cache)
+    return cfg, LlavaParams(**tree)
 
 
 def image_features(cfg: LlavaConfig, params: LlavaParams, pixel_values: jax.Array):

@@ -135,13 +135,18 @@ def params_from_hf(cfg: LlavaNextConfig, sd: dict, dtype=jnp.bfloat16):
     )
 
 
-def load(model_dir: str, dtype=jnp.bfloat16):
+def load(model_dir: str, dtype=jnp.bfloat16, cache: bool = True):
+    from ..utils.cache import load_or_convert
     from ..utils.hf_io import load_state_dict
 
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = LlavaNextConfig.from_hf_dict(json.load(f))
-    sd = load_state_dict(model_dir)
-    return cfg, params_from_hf(cfg, sd, dtype)
+
+    def convert():
+        return params_from_hf(cfg, load_state_dict(model_dir), dtype)._asdict()
+
+    tree = load_or_convert(model_dir, convert, dtype, enable=cache)
+    return cfg, LlavaNextParams(**tree)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,8 @@ def load_or_convert(model_dir: str, convert_fn, dtype, enable: bool = True):
     """convert_fn() -> pytree; cached per (model_dir, dtype)."""
     import jax.numpy as jnp
 
+    import jax
+
     dtype_name = jnp.dtype(dtype).name
     path = _cache_dir(model_dir, dtype_name)
     if enable and os.path.isdir(path):
@@ -32,8 +34,8 @@ def load_or_convert(model_dir: str, convert_fn, dtype, enable: bool = True):
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as ckptr:
-                meta = ckptr.metadata(path)
-                return ckptr.restore(path)
+                tree = ckptr.restore(path)
+            return jax.tree.map(jnp.asarray, tree)
         except Exception:
             pass  # fall through to reconversion
     tree = convert_fn()

@@ -38,6 +38,26 @@ def test_overlap_keep():
     np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
 
 
+def test_overlap_keep_multi():
+    from dropoutdecoding_tpu.decoding.masks import overlap_keep_mask_multi
+
+    topk = jnp.array([[1, 2, 3], [4, 5, 6], [7, 8, 2]])
+    keep = overlap_keep_mask_multi(jnp.array([5, 3, -1, -1]), topk)
+    np.testing.assert_array_equal(np.asarray(keep), [True, True, False])
+    # all-padding probes keep nothing
+    keep = overlap_keep_mask_multi(jnp.array([-1, -1, -1, -1]), topk)
+    assert not bool(keep.any())
+
+
+def test_extract_probe_ids():
+    from dropoutdecoding_tpu.engine.generate import extract_probe_ids
+
+    ids = jnp.array([[5, 727, 9, 11, 2], [5, 6, 7, 8, 9]])
+    probes = np.asarray(extract_probe_ids(ids, marker=727, max_probes=4))
+    np.testing.assert_array_equal(probes[0], [9, 11, 2, -1])
+    np.testing.assert_array_equal(probes[1], [-1, -1, -1, -1])
+
+
 def test_epis_policy_never_drops_overlap(rng):
     epis = jnp.asarray(rng.gamma(2.0, 1.0, size=64).astype(np.float32))
     overlap = jnp.asarray(rng.random(64) < 0.3)
