@@ -148,7 +148,13 @@ def make_engine(args):
 
 def run_engine(engine, processor, model, prompt, image):
     """One caption: model-specific input prep + generate + decode."""
+    use_cd = engine.gen.use_cd
+    use_beam = not engine.ensemble and engine.gen.num_beams > 1 and not use_cd
+
     if model == "llava-next":
+        import jax
+
+        from ..decoding.vcd import diffusion_noise
         from ..utils.processor import LlavaNextImagePreprocessor
 
         if not hasattr(run_engine, "_next_prep"):
@@ -158,12 +164,45 @@ def run_engine(engine, processor, model, prompt, image):
             )
         tiles, orig = run_engine._next_prep(image)
         ids = processor(prompt)["input_ids"]
-        result = engine.generate(ids, tiles, orig)
+        if use_cd:
+            import numpy as _np
+
+            from ..engine.baselines import vcd_generate
+
+            noised = diffusion_noise(
+                jax.random.key(0), tiles, engine.gen.cd_noise_step
+            )
+            states = (
+                engine.prefill(ids, tiles, orig),
+                engine.prefill(ids, _np.asarray(noised), orig),
+            )
+            result = vcd_generate(engine, states=states)
+        elif use_beam:
+            from ..engine.baselines import beam_generate
+
+            result = beam_generate(
+                engine,
+                state=engine.prefill(ids, tiles, orig),
+                num_beams=engine.gen.num_beams,
+            )
+        else:
+            result = engine.generate(ids, tiles, orig)
     elif model == "instructblip":
         inputs = processor(prompt, image)
-        result = engine.generate(
-            inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
-        )
+        if use_beam:
+            from ..engine.baselines import beam_generate
+
+            result = beam_generate(
+                engine,
+                state=engine.prefill(
+                    inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
+                ),
+                num_beams=engine.gen.num_beams,
+            )
+        else:
+            result = engine.generate(
+                inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
+            )
     else:
         inputs = processor(prompt, image)
         if engine.gen.use_cd:

@@ -29,21 +29,29 @@ from .generate import GenerationResult
 # VCD
 # ---------------------------------------------------------------------------
 
-def vcd_generate(engine, input_ids, pixel_values, seed: int = 0):
-    """Visual-contrastive decoding on a LlavaEngine.
+def vcd_generate(
+    engine, input_ids=None, pixel_values=None, seed: int = 0, states=None
+):
+    """Visual-contrastive decoding.
 
     Two prefills (clean / diffusion-noised pixels, noise step
     gen.cd_noise_step — reference test_vcd.py:230 uses 500), then a single
     jitted sampling loop over the stacked contexts.
+
+    Pass ``states=(clean_state, noised_state)`` for engines with
+    non-(ids, pixels) prefill signatures (InstructBLIP / LLaVA-NeXT).
     """
     gen = engine.gen
     key = jax.random.key(seed)
     k_noise, k_sample = jax.random.split(key)
 
-    pixels = jnp.asarray(pixel_values)
-    noised = diffusion_noise(k_noise, pixels, gen.cd_noise_step)
-    state = engine.prefill(input_ids, pixels)
-    state_cd = engine.prefill(input_ids, np.asarray(noised))
+    if states is not None:
+        state, state_cd = states
+    else:
+        pixels = jnp.asarray(pixel_values)
+        noised = diffusion_noise(k_noise, pixels, gen.cd_noise_step)
+        state = engine.prefill(input_ids, pixels)
+        state_cd = engine.prefill(input_ids, np.asarray(noised))
 
     B = state.first_token.shape[0]
     T = gen.max_new_tokens
@@ -114,8 +122,11 @@ def vcd_generate(engine, input_ids, pixel_values, seed: int = 0):
 # beam search
 # ---------------------------------------------------------------------------
 
-def beam_generate(engine, input_ids, pixel_values, num_beams: int = 3):
-    """Beam-search decode on a LlavaEngine (B=1 prompt).
+def beam_generate(
+    engine, input_ids=None, pixel_values=None, num_beams: int = 3, state=None
+):
+    """Beam-search decode (B=1 prompt).  Pass ``state`` directly for
+    engines with non-(ids, pixels) prefill signatures.
 
     Implements HF BeamSearchScorer semantics (length_penalty=1.0,
     early_stopping=False): per step the top 2*nb candidates are scanned in
@@ -125,7 +136,8 @@ def beam_generate(engine, input_ids, pixel_values, num_beams: int = 3):
     stored hypothesis can no longer be beaten by the best running beam.
     """
     gen = engine.gen
-    state = engine.prefill(input_ids, pixel_values)
+    if state is None:
+        state = engine.prefill(input_ids, pixel_values)
     assert state.first_token.shape[0] == 1, "beam search is per-prompt"
     nb = num_beams
     T = gen.max_new_tokens

@@ -54,6 +54,17 @@ def test_beam3_matches_hf_beam_search(tiny_llava):
     np.testing.assert_array_equal(out.tokens[0, :n], ref_new[:n])
 
 
+def test_beam_accepts_prebuilt_state(tiny_llava):
+    """State-based API used by the InstructBLIP / LLaVA-NeXT beam paths."""
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    direct = beam_generate(eng, input_ids, pixels, num_beams=2)
+    via_state = beam_generate(
+        eng, state=eng.prefill(input_ids, pixels), num_beams=2
+    )
+    np.testing.assert_array_equal(direct.tokens, via_state.tokens)
+
+
 def test_vcd_runs_and_respects_cutoff(tiny_llava):
     _, cfg, params, input_ids, _, pixels = tiny_llava
     eng = _engine(cfg, params)
