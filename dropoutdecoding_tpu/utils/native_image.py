@@ -171,9 +171,11 @@ class NativeClipPreprocessor:
 
             img = np.asarray(Image.open(path).convert("RGB"))
         h, w = img.shape[:2]
-        short = min(h, w)
-        scale = self.size / short
-        nh, nw = round(h * scale), round(w * scale)
+        # HF semantics: shortest edge -> size; long edge truncated
+        if w <= h:
+            nw, nh = self.size, int(self.size * h / w)
+        else:
+            nh, nw = self.size, int(self.size * w / h)
         img = resize_bicubic(img, nh, nw)
         top = (nh - self.crop) // 2
         left = (nw - self.crop) // 2

@@ -56,9 +56,14 @@ class ClipImagePreprocessor:
         if image.mode != "RGB":
             image = image.convert("RGB")
         w, h = image.size
-        short, long = (w, h) if w <= h else (h, w)
-        scale = self.size / short
-        new_w, new_h = round(w * scale), round(h * scale)
+        # HF get_resize_output_image_size semantics: shortest edge snaps to
+        # `size`, the long edge is TRUNCATED (int), not rounded.
+        if w <= h:
+            new_w = self.size
+            new_h = int(self.size * h / w)
+        else:
+            new_h = self.size
+            new_w = int(self.size * w / h)
         resample = Image.BICUBIC if self.resample == "bicubic" else Image.BILINEAR
         image = image.resize((new_w, new_h), resample)
         # center crop
