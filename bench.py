@@ -203,6 +203,28 @@ def run_once(n_layers):
     ref_tps = n_steps / (time.perf_counter() - t0)
     print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
 
+    # int8 weight-only quantization (utils/quantize.py): halves streamed
+    # weight bytes in the HBM-bound decode regime
+    try:
+        from dropoutdecoding_tpu.utils.quantize import quantize_llama_params
+
+        qparams = params._replace(lm=quantize_llama_params(params.lm))
+        q_greedy = mk(False)
+        q_greedy.params = qparams
+        q_tps = time_decode(q_greedy, state, qparams)
+        qf = mk(True)
+        qf.params = qparams
+        qf.ens = _EC(fused_step=True)
+        qf.__post_init__()
+        qf_tps = time_decode(qf, state, qparams)
+        print(
+            f"int8 greedy: {q_tps:.2f} t/s ({q_tps / greedy_tps:.2f}x bf16); "
+            f"int8 fused K=3: {qf_tps:.2f} t/s",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(f"int8 bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote
     try:
         k8 = mk(True)

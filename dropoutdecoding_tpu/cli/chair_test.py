@@ -108,11 +108,19 @@ def make_engine(args):
         text_logits_mask=str2bool(getattr(args, "text_logit_mask", False)),
     )
 
+    def maybe_quantize(params):
+        if getattr(args, "quantize", None) == "int8":
+            from ..utils.quantize import quantize_llama_params
+
+            return params._replace(lm=quantize_llama_params(params.lm))
+        return params
+
     if model == "llava-1.5":
         from ..engine.generate import LlavaEngine
         from ..models import llava as llava_mod
 
         cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+        params = maybe_quantize(params)
         engine = LlavaEngine(
             cfg=cfg,
             params=params,
@@ -124,6 +132,7 @@ def make_engine(args):
         from ..models import instructblip as ib_mod
 
         cfg, params = ib_mod.load(args.model_path, jnp.bfloat16)
+        params = maybe_quantize(params)
         engine = InstructBlipEngine(
             cfg=cfg,
             params=params,
@@ -135,6 +144,7 @@ def make_engine(args):
         from ..models import llavanext as next_mod
 
         cfg, params = next_mod.load(args.model_path, jnp.bfloat16)
+        params = maybe_quantize(params)
         engine = LlavaNextEngine(
             cfg=cfg,
             params=params,
@@ -448,6 +458,14 @@ def build_parser():
         type=str,
         default=None,
         help="write a jax.profiler trace (TensorBoard/XProf) to this dir",
+    )
+    p.add_argument(
+        "--quantize",
+        type=str,
+        default=None,
+        choices=[None, "int8"],
+        help="weight-only quantization of the LM tower (~2x decode "
+        "throughput; per-channel symmetric int8)",
     )
     return p
 

@@ -144,6 +144,16 @@ def params_from_hf(cfg: LlamaConfig, sd: dict, dtype=jnp.bfloat16, prefix="") ->
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul dispatching on dense vs int8-quantized ({"q","s"}) weights
+    (utils/quantize.py).  The int8->activation-dtype convert fuses into the
+    MXU feed under XLA, so quantized weights stream half the HBM bytes."""
+    if isinstance(w, dict):
+        y = jnp.einsum("...d,de->...e", x, w["q"].astype(x.dtype))
+        return y * w["s"].astype(y.dtype)[0]
+    return jnp.einsum("...d,de->...e", x, w)
+
+
 def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][input_ids]
 
@@ -151,8 +161,16 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
 def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     """fp32 logits (HF casts logits to float).  The matmul runs in the
     weights' dtype with fp32 MXU accumulation — no fp32 copy of the
-    [D, V] matrix is materialized."""
+    [D, V] matrix is materialized.  Supports int8-quantized weights."""
     w = params["lm_head"]
+    if isinstance(w, dict):
+        y = jnp.einsum(
+            "...d,dv->...v",
+            hidden.astype(jnp.bfloat16),
+            w["q"].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return y * w["s"].astype(jnp.float32)[0]
     return jnp.einsum(
         "...d,dv->...v",
         hidden.astype(w.dtype),
@@ -162,9 +180,9 @@ def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
 
 
 def _mlp(lp: dict, x: jax.Array) -> jax.Array:
-    gate = jnp.einsum("...d,di->...i", x, lp["gate_proj"])
-    up = jnp.einsum("...d,di->...i", x, lp["up_proj"])
-    return jnp.einsum("...i,id->...d", jax.nn.silu(gate) * up, lp["down_proj"])
+    gate = _mm(x, lp["gate_proj"])
+    up = _mm(x, lp["up_proj"])
+    return _mm(jax.nn.silu(gate) * up, lp["down_proj"])
 
 
 def prefill(
@@ -214,14 +232,14 @@ def prefill(
 
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q = jnp.einsum("bsd,de->bse", h, lp["q_proj"]).reshape(B, S, H, Dh)
-        k = jnp.einsum("bsd,de->bse", h, lp["k_proj"]).reshape(B, S, KH, Dh)
-        v = jnp.einsum("bsd,de->bse", h, lp["v_proj"]).reshape(B, S, KH, Dh)
+        q = _mm(h, lp["q_proj"]).reshape(B, S, H, Dh)
+        k = _mm(h, lp["k_proj"]).reshape(B, S, KH, Dh)
+        v = _mm(h, lp["v_proj"]).reshape(B, S, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = _attend(q, k, v)
         attn = attn.reshape(B, S, H * Dh)
-        x = x + jnp.einsum("bse,ed->bsd", attn, lp["o_proj"])
+        x = x + _mm(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
         return x, (k, v)
@@ -262,14 +280,14 @@ def decode_step(
     def layer(xc, scanned):
         lp, kc, vc = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-        q = jnp.einsum("bmd,de->bme", h, lp["q_proj"]).reshape(B, M, H, Dh)
-        k = jnp.einsum("bmd,de->bme", h, lp["k_proj"]).reshape(B, M, KH, Dh)
-        v = jnp.einsum("bmd,de->bme", h, lp["v_proj"]).reshape(B, M, KH, Dh)
+        q = _mm(h, lp["q_proj"]).reshape(B, M, H, Dh)
+        k = _mm(h, lp["k_proj"]).reshape(B, M, KH, Dh)
+        v = _mm(h, lp["v_proj"]).reshape(B, M, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = ensemble_decode_attention(q, kc, vc, k, v, key_mask)
         attn = attn.reshape(B, M, H * Dh)
-        xc = xc + jnp.einsum("bme,ed->bmd", attn, lp["o_proj"])
+        xc = xc + _mm(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)
         xc = xc + _mlp(lp, h2)
         return xc, (k, v)

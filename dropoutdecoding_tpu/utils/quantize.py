@@ -1,0 +1,49 @@
+"""Weight-only int8 quantization for the Llama tower.
+
+Decode at batch<=K+1 is HBM-bound: per-token latency ~ bytes(weights)/BW.
+Per-output-channel symmetric int8 halves the streamed bytes vs bf16 for
+the seven big projection matrices per layer (+ lm_head), which is a ~2x
+decode-throughput lever at equal arithmetic (XLA fuses the int8->bf16
+dequant into the MXU feed).
+
+Representation: a quantized matrix is the dict {"q": int8 [.., D, E],
+"s": bf16 [.., 1, E]} (scale per output channel, broadcast over the
+stacked-layer leading axis).  models/llama._mm dispatches on this shape,
+so quantized and dense params flow through the same tower code.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_QUANT_NAMES = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+)
+
+
+def quantize_matrix(w: jax.Array, axis: int = -1) -> dict:
+    """Symmetric per-output-channel int8: q = round(w / s), s = amax/127."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # per output col
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    # scales stay fp32: negligible bytes ([1, E]) and avoids a bf16
+    # rescale error on top of the int8 rounding
+    return {"q": q, "s": s}
+
+
+def dequantize_matrix(wq: dict, dtype=jnp.float32) -> jax.Array:
+    return (wq["q"].astype(jnp.float32) * wq["s"].astype(jnp.float32)).astype(dtype)
+
+
+def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
+    """Quantize the per-layer projections (+ optionally lm_head) of a
+    models/llama parameter pytree.  Norms and embeddings stay bf16."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _QUANT_NAMES:
+        layers[name] = quantize_matrix(layers[name])
+    out["layers"] = layers
+    if quantize_lm_head:
+        out["lm_head"] = quantize_matrix(params["lm_head"])
+    return out

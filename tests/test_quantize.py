@@ -1,0 +1,73 @@
+"""Weight-only int8 quantization (utils/quantize.py)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.models import llama
+from dropoutdecoding_tpu.utils.config import LlamaConfig
+from dropoutdecoding_tpu.utils.quantize import (
+    dequantize_matrix,
+    quantize_llama_params,
+    quantize_matrix,
+)
+
+
+def test_quantize_roundtrip_error_bounded(rng):
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    wq = quantize_matrix(w)
+    assert wq["q"].dtype == jnp.int8
+    back = dequantize_matrix(wq)
+    # per-channel symmetric int8: error <= s/2 = amax/254 per element
+    amax = np.abs(np.asarray(w)).max(axis=0, keepdims=True)
+    assert np.all(np.abs(np.asarray(back) - np.asarray(w)) <= amax / 254 + 1e-8)
+
+
+def test_quantized_tower_close_to_dense(rng):
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=8,
+    )
+    params = llama.init_params(cfg, jax.random.key(0), jnp.float32)
+    qparams = quantize_llama_params(params)
+
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 9)))
+    x = llama.embed(params, ids)
+    pos = jnp.arange(9)[None]
+    hidden, _ = llama.prefill(params, cfg, x, pos)
+    qhidden, _ = llama.prefill(qparams, cfg, x, pos)
+
+    logits = np.asarray(llama.lm_head(params, hidden[:, -1]))
+    qlogits = np.asarray(llama.lm_head(qparams, qhidden[:, -1]))
+    # int8 weight-only: small relative error, same top prediction here
+    rel = np.abs(logits - qlogits) / (np.abs(logits).max() + 1e-6)
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_quantized_decode_runs(rng):
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=8,
+    )
+    params = quantize_llama_params(llama.init_params(cfg, jax.random.key(1), jnp.float32))
+    ids = jnp.asarray(rng.integers(0, 64, size=(1, 5)))
+    x = llama.embed(params, ids)
+    hidden, kv = llama.prefill(params, cfg, x, jnp.arange(5)[None])
+    cache = llama.KVCache.empty(cfg, 1, 16, jnp.float32)
+    cache = llama.KVCache(cache.k.at[:, :, :5].set(kv.k), cache.v.at[:, :, :5].set(kv.v))
+    tok = jnp.argmax(llama.lm_head(params, hidden[:, -1]), -1)
+    mask = jnp.broadcast_to(jnp.arange(16)[None, None, :] < 5, (1, 1, 16))
+    h, k1, v1 = llama.decode_step(
+        params, cfg, llama.embed(params, tok)[:, None], jnp.full((1,), 5), cache, mask
+    )
+    assert h.shape == (1, 1, 32)
