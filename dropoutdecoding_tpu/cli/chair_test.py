@@ -361,12 +361,21 @@ def main(args):
                 text = processor.decode(result.tokens[i][: result.num_tokens[i]])
                 emit(img_file, text)
     else:
+        # threaded prefetch overlaps JPEG decode with device compute
+        # (utils/native_image.PrefetchLoader; the reference's loop is fully
+        # serial, chair_test.py:274-293)
+        from ..utils.native_image import PrefetchLoader
+
+        paths = [
+            os.path.join(args.coco_data_dir, "val2014", f) for f in img_files
+        ]
+
+        def load(path):
+            return Image.open(path).convert("RGB")
+
+        loader = PrefetchLoader(paths, load, depth=4, workers=2)
         with profile_trace(profile_dir):
-            for img_file in tqdm(img_files):
-                with timer.stage("load_image"):
-                    image = Image.open(
-                        os.path.join(args.coco_data_dir, "val2014", img_file)
-                    ).convert("RGB")
+            for (path, image), img_file in zip(tqdm(loader, total=len(paths)), img_files):
                 with timer.stage("generate"):
                     text = run_engine(engine, processor, model, PROMPTS[model], image)
                 emit(img_file, text)

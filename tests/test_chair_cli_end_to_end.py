@@ -1,0 +1,130 @@
+"""Whole-harness integration: cli.chair_test.main() with a tiny random
+LLaVA engine over a synthetic COCO directory (images + annotations),
+producing captions, the self-critical JSON, and the CHAIR results tree —
+the complete L5→L4 pipeline of SURVEY.md §3.1 minus real weights."""
+import json
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def synthetic_coco(tmp_path):
+    rng = np.random.default_rng(0)
+    ann = tmp_path / "annotations"
+    val = tmp_path / "val2014"
+    ann.mkdir()
+    val.mkdir()
+    images = []
+    for i in range(1, 5):
+        name = f"COCO_val2014_{i:012d}.jpg"
+        Image.fromarray(
+            (rng.random((40, 52, 3)) * 255).astype(np.uint8), "RGB"
+        ).save(val / name, "JPEG")
+        images.append({"id": i, "file_name": name})
+    captions = {
+        "images": images,
+        "annotations": [
+            {"id": 10 * i + j, "image_id": i, "caption": f"a dog and a chair {j}"}
+            for i in range(1, 5)
+            for j in range(2)
+        ],
+    }
+    instances = {
+        "categories": [{"id": 1, "name": "dog"}, {"id": 2, "name": "chair"}],
+        "images": images,
+        "annotations": [
+            {"id": 900 + i, "image_id": i, "category_id": 1 + i % 2}
+            for i in range(1, 5)
+        ],
+    }
+    (ann / "captions_val2014.json").write_text(json.dumps(captions))
+    (ann / "instances_val2014.json").write_text(json.dumps(instances))
+    return tmp_path
+
+
+class _TinyProcessor:
+    """Stands in for VlmProcessor: fixed prompt ids + 28px pixel pipeline."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+        class _Tok:
+            eos_token_id = 2
+
+        self.tokenizer = _Tok()
+
+    def __call__(self, prompt, image=None):
+        ids = np.array([[1, 5, 9, self.cfg.image_token_index, 11, 13]], np.int32)
+        out = {"input_ids": ids}
+        if image is not None:
+            arr = np.asarray(image.resize((28, 28)), np.float32) / 255.0
+            out["pixel_values"] = arr.transpose(2, 0, 1)[None]
+        return out
+
+    def decode(self, token_ids, skip_special_tokens=True):
+        return "a dog next to a chair token" + "".join(
+            f" t{int(t)}" for t in token_ids
+        )
+
+
+def test_chair_cli_main_end_to_end(synthetic_coco, tmp_path, monkeypatch, tiny_llava):
+    from dropoutdecoding_tpu.cli import chair_test as cli
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_make_engine(args):
+        eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=48,
+            ensemble=not cli.str2bool(args.original),
+        )
+        eng.param_dtype = jnp.float32
+        return eng, _TinyProcessor(cfg)
+
+    monkeypatch.setattr(cli, "make_engine", fake_make_engine)
+    monkeypatch.chdir(tmp_path)
+
+    args = cli.build_parser().parse_args(
+        [
+            "--method", "itest",
+            "--coco-data-dir", str(synthetic_coco),
+            "--model-path", "/unused",
+            "--image-numbers", "4",
+            "--seed", "0",
+            "--output-dir", str(tmp_path / "outputs"),
+            "--sample-save-name", str(tmp_path / "sample.log"),
+        ]
+    )
+    cli.main(args)
+
+    # sample persistence (reference chair_test.py:222-243)
+    assert len(open(tmp_path / "sample.log").read().split()) == 4
+    # caption JSONL
+    out_files = os.listdir(tmp_path / "outputs")
+    jsonl = [f for f in out_files if f.startswith("itest")]
+    assert jsonl
+    records = [
+        json.loads(l)
+        for l in open(tmp_path / "outputs" / jsonl[0])
+        if l.strip()
+    ]
+    assert len(records) == 4
+    assert set(records[0]) == {"image_id", "caption"}
+    # results tree (reference chair_eval layout)
+    stem = "results/itest/llava_llava-1.5/coco/llava_llava-1.5_coco_num_images_500_chair_results"
+    table = open(tmp_path / f"{stem}.txt").read().splitlines()
+    assert table[0] == "SPICE\tMETEOR\tCIDEr\tCHAIRs\tCHAIRi"
+    result = json.load(open(tmp_path / f"{stem}.json"))
+    assert 0.0 <= result["overall_metrics"]["CHAIRs"] <= 1.0
+    assert len(result["sentences"]) == 4
