@@ -77,6 +77,7 @@ def build_state(engine, cfg, key, B=1):
         image_pos=jnp.full((B,), 5, jnp.int32),
         visual_mask=jnp.ones((B, N), bool),
         probe_ids=jnp.full((B, 8), -1, jnp.int32),
+        rng_id=jnp.arange(B, dtype=jnp.int32),
         uncertainty={},
     )
 

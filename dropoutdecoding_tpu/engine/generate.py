@@ -77,6 +77,8 @@ class PrefillState(NamedTuple):
     image_pos: jax.Array  # [B] start of the visual span
     visual_mask: jax.Array  # [B, N] validity (LLaVA-NeXT pads N to a max)
     probe_ids: jax.Array  # [B, P] VQA probe token ids (-1 pad; "vqa" policy)
+    rng_id: jax.Array  # [B] per-request RNG stream id (row index at prefill;
+    #   preserved by the serving layer so slot placement never changes draws)
     uncertainty: dict  # full uncertainty dict (diagnostics)
 
 
@@ -85,16 +87,23 @@ class GenerationResult(NamedTuple):
     num_tokens: np.ndarray  # [B]
 
 
-def _record_text_stats(tm: TextMaskState, step, winner_logits) -> TextMaskState:
+def _record_text_stats(tm: TextMaskState, steps, winner_logits) -> TextMaskState:
     """Record 1/max-logit + entropy/varentropy of the emitting step
-    (reference llava.py:366-369 / instructblip.py:141-144)."""
+    (reference llava.py:366-369 / instructblip.py:141-144).
+
+    ``steps``: [B] per-row generation index (rows may be at different steps
+    under the continuous-batching server)."""
     from ..ops.uncertainty import entropy_varentropy
 
+    B = winner_logits.shape[0]
+    T = tm.prob.shape[1]
+    idx = jnp.clip(steps, 0, T - 1)
+    rows = jnp.arange(B)
     ent, vent = jax.vmap(entropy_varentropy)(winner_logits)
     return TextMaskState(
-        prob=tm.prob.at[:, step].set(1.0 / jnp.max(winner_logits, axis=-1)),
-        ent=tm.ent.at[:, step].set(ent),
-        vent=tm.vent.at[:, step].set(vent),
+        prob=tm.prob.at[rows, idx].set(1.0 / jnp.max(winner_logits, axis=-1)),
+        ent=tm.ent.at[rows, idx].set(ent),
+        vent=tm.vent.at[rows, idx].set(vent),
     )
 
 
@@ -174,6 +183,7 @@ class LlavaEngine:
             image_pos=image_pos,
             visual_mask=jnp.ones((B, N), bool),
             probe_ids=extract_probe_ids(input_ids),
+            rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )
 
@@ -181,7 +191,7 @@ class LlavaEngine:
     # decode
     # ------------------------------------------------------------------
     def _member_drop_slots(
-        self, state, argmax_src, logits_for_kl, step, cur_len, tm
+        self, state, argmax_src, logits_for_kl, steps, cur_len, tm
     ):
         """Sample the K members' cache-slot drop masks [B, K, Smax] from an
         argmax source (current step's unmasked argmax in exact mode,
@@ -205,7 +215,7 @@ class LlavaEngine:
                 state.image_logits, logits_for_kl
             )
 
-        step_key = jax.random.fold_in(jax.random.key(self.seed), step)
+        base_key = jax.random.key(self.seed)
 
         def member_masks(b_key, epis_b, overlap_b, kl_b, valid_b):
             drops = []
@@ -228,7 +238,9 @@ class LlavaEngine:
                 prev = d
             return jnp.stack(drops)  # [K, N]
 
-        b_keys = jax.vmap(lambda b: jax.random.fold_in(step_key, b))(jnp.arange(B))
+        b_keys = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.fold_in(base_key, s), b)
+        )(steps, state.rng_id)
         kl_arg = kl_keep if kl_keep is not None else jnp.zeros((B, N), bool)
         drops = jax.vmap(member_masks)(
             b_keys, state.epis, overlap, kl_arg, state.visual_mask
@@ -254,8 +266,12 @@ class LlavaEngine:
             T = tm.prob.shape[1]
             gidx = jnp.clip(slots - gen_start[:, None], 0, T - 1)
             gprob = jnp.take_along_axis(tm.prob, gidx, axis=1)  # [B, Smax]
-            tkey = jax.random.fold_in(step_key, 7919)
-            u = jax.random.uniform(tkey, (B, Smax))
+            tkeys = jax.vmap(
+                lambda s, b: jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(base_key, s), 7919), b
+                )
+            )(steps, state.rng_id)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (Smax,)))(tkeys)
             if text_policy == "logits":
                 # drop with prob 1/max_logit of the emitting step
                 tdrop = u < gprob
@@ -272,10 +288,11 @@ class LlavaEngine:
         return drop_slots
 
     def _one_step(self, params, state, carry):
-        """One ensemble decode step.  carry = (cache, cur_len, token, step,
-        tokens_buf, done, tm: TextMaskState, prev_argmax0)."""
+        """One ensemble decode step.  carry = (cache, cur_len, token,
+        steps [B] per-row generation index, tokens_buf, done,
+        tm: TextMaskState, prev_argmax0)."""
         cfg, ens = self.cfg, self.ens
-        cache, cur_len, token, step, tokens_buf, done, tm, prev_argmax0 = carry
+        cache, cur_len, token, steps, tokens_buf, done, tm, prev_argmax0 = carry
         B = token.shape[0]
         K = ens.k
         Smax = self.max_len
@@ -288,7 +305,7 @@ class LlavaEngine:
             # members 1..K masked with the PREVIOUS step's overlap set
             # (one weight stream per token; see EnsembleConfig.fused_step).
             drop_slots = self._member_drop_slots(
-                state, prev_argmax0, state.last_logits, step, cur_len, tm
+                state, prev_argmax0, state.last_logits, steps, cur_len, tm
             )
             masks = jnp.concatenate(
                 [
@@ -317,7 +334,7 @@ class LlavaEngine:
             winner_logits = jnp.take_along_axis(
                 logits_k, winner[:, None, None], axis=1
             )[:, 0]
-            tm = _record_text_stats(tm, step, winner_logits)
+            tm = _record_text_stats(tm, steps, winner_logits)
         else:
             # --- phase 1: unmasked forward (reference llava.py:294-305) ---
             h0, k0, v0 = llama_mod.decode_step(
@@ -334,7 +351,7 @@ class LlavaEngine:
                 # --- phases 2-3: masks from the CURRENT unmasked argmax
                 # (reference llava.py:305->345), then the K-member batch ---
                 drop_slots = self._member_drop_slots(
-                    state, argmax0, logits0, step, cur_len, tm
+                    state, argmax0, logits0, steps, cur_len, tm
                 )
                 member_mask = base_mask[:, None, :] & ~drop_slots  # [B,K,Smax]
                 xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
@@ -357,7 +374,7 @@ class LlavaEngine:
                 winner_logits = jnp.take_along_axis(
                     logits_k, winner[:, None, None], axis=1
                 )[:, 0]
-                tm = _record_text_stats(tm, step, winner_logits)
+                tm = _record_text_stats(tm, steps, winner_logits)
 
         cache = KVCache(
             cache.k.at[:, jnp.arange(B), cur_len].set(kw),
@@ -366,13 +383,19 @@ class LlavaEngine:
 
         prev_done = done
         next_token = jnp.where(prev_done, self.gen.pad_token_id, next_token)
-        tokens_buf = tokens_buf.at[:, step].set(next_token)
+        T = tokens_buf.shape[1]
+        rows = jnp.arange(B)
+        idx = jnp.clip(steps, 0, T - 1)
+        written = tokens_buf.at[rows, idx].set(next_token)
+        # rows already done (or past T) keep their buffer unchanged
+        keep = prev_done | (steps >= T)
+        tokens_buf = jnp.where(keep[:, None], tokens_buf, written)
         done = prev_done | (next_token == self.gen.eos_token_id)
         return (
             cache,
             cur_len + jnp.where(prev_done, 0, 1),
             next_token,
-            step + 1,
+            steps + jnp.where(prev_done, 0, 1),
             tokens_buf,
             done,
             tm,
@@ -395,7 +418,7 @@ class LlavaEngine:
             state.cache,
             state.cur_len,
             state.first_token,
-            jnp.ones((), jnp.int32),  # step index into tokens_buf
+            jnp.ones((B,), jnp.int32),  # per-row step index into tokens_buf
             tokens_buf,
             done,
             tm0,
@@ -405,14 +428,14 @@ class LlavaEngine:
         )
 
         def cond(c):
-            return (c[3] < T) & ~jnp.all(c[5])
+            return jnp.any((c[3] < T) & ~c[5])
 
         def body(c):
             return self._one_step(params, state, c)
 
         carry = jax.lax.while_loop(cond, body, carry)
         tokens_buf, steps = carry[4], carry[3]
-        return tokens_buf, steps
+        return tokens_buf, jnp.max(steps)
 
     # ------------------------------------------------------------------
     # public API

@@ -65,6 +65,7 @@ class InstructBlipEngine(LlavaEngine):
             image_pos=jnp.zeros((B,), jnp.int32),
             visual_mask=jnp.ones((B, N), bool),
             probe_ids=extract_probe_ids(input_ids),
+            rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )
 

@@ -97,6 +97,7 @@ class LlavaNextEngine(LlavaEngine):
             image_pos=jnp.full((B,), int(image_pos), jnp.int32),
             visual_mask=valid[None],
             probe_ids=extract_probe_ids(input_ids),
+            rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )
 

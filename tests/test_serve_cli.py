@@ -1,0 +1,55 @@
+"""CaptionService end-to-end with a tiny engine (threaded worker +
+DecodeServer), without HTTP."""
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.cli.serve import CaptionService
+from dropoutdecoding_tpu.engine.generate import LlavaEngine
+from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+
+class _TinyProcessor:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def __call__(self, prompt, image=None):
+        ids = np.array([[1, 5, 9, self.cfg.image_token_index, 11, 13]], np.int32)
+        out = {"input_ids": ids}
+        if image is not None:
+            arr = np.asarray(image.resize((28, 28)), np.float32) / 255.0
+            out["pixel_values"] = arr.transpose(2, 0, 1)[None]
+        return out
+
+    def decode(self, token_ids, skip_special_tokens=True):
+        return " ".join(f"t{int(t)}" for t in token_ids)
+
+
+def test_caption_service_concurrent(tiny_llava, rng):
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis"),
+        gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1, pad_token_id=0),
+        max_len=48,
+        ensemble=True,
+    )
+    eng.param_dtype = jnp.float32
+    service = CaptionService(eng, _TinyProcessor(cfg), "llava-1.5", n_slots=2)
+
+    import concurrent.futures as cf
+
+    def one(i):
+        img = Image.fromarray(
+            (np.random.default_rng(i).random((30, 30, 3)) * 255).astype(np.uint8),
+            "RGB",
+        )
+        return service.caption(img, "Describe the image.", timeout=300)
+
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+        captions = list(ex.map(one, range(3)))
+    assert len(captions) == 3
+    for c in captions:
+        assert c.startswith("t") and len(c.split()) == 5
