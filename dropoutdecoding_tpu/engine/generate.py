@@ -128,6 +128,12 @@ class LlavaEngine:
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
+        if self.ens.fused_step and self.ens.mask_policy == "epis_kl":
+            raise ValueError(
+                "epis_kl needs the CURRENT step's unmasked logits for its "
+                "KL keep-set; fused mode only has the previous step's — "
+                "use the exact (two-phase) mode for this policy"
+            )
         self._prefill = jax.jit(self._prefill_impl)
         self._decode = jax.jit(self._decode_loop_impl)
 
