@@ -24,9 +24,9 @@ round-trips from prompt to final token.
 """
 from __future__ import annotations
 
-import functools
+
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,7 @@ operations the harness uses: getImgIds, loadImgs, loadRes, imgToAnns —
 reference chair_test.py:45-52, 216-262, 407-422)."""
 from __future__ import annotations
 
-import copy
+
 import json
 from collections import defaultdict
 

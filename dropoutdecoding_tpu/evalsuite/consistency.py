@@ -15,7 +15,7 @@ inputs so they are actually runnable:
 """
 from __future__ import annotations
 
-from collections import defaultdict
+
 
 
 def lm_consistency_rank(word_probs: dict, word: str) -> int:
