@@ -37,101 +37,115 @@ def word_tokenize(text: str) -> list:
 
 
 # --- singularization ---------------------------------------------------------
+# Faithful reimplementation of pattern.en.singularize's behavior, which the
+# CHAIR metric is *defined* through (reference chair.py:6,156).  pattern's
+# singularizer is famously aggressive — it mangles non-plurals ('has'->'ha',
+# 'glass'->'glas', 'slice'->'slouse', 'bus'->'bu') — and those quirks shape
+# which object mentions the metric sees, so they are replicated, not fixed.
+# Validated against ~3.5k distinct token mappings mined from the reference's
+# archived results (tests/test_chair_reference_parity.py).
 
+import re as _re
+
+_SINGULAR_RULES = [
+    (r"(?i)(.)ae$", "\\1a"),
+    (r"(?i)(.)itis$", "\\1itis"),
+    (r"(?i)(.)eaux$", "\\1eau"),
+    (r"(?i)(quiz)zes$", "\\1"),
+    (r"(?i)(matr)ices$", "\\1ix"),
+    (r"(?i)(ap|vert|ind)ices$", "\\1ex"),
+    (r"(?i)^(ox)en", "\\1"),
+    (r"(?i)(alias|status)es$", "\\1"),
+    (r"(?i)([octop|vir])i$", "\\1us"),
+    (r"(?i)(cris|ax|test)es$", "\\1is"),
+    (r"(?i)(shoe)s$", "\\1"),
+    (r"(?i)(o)es$", "\\1"),
+    (r"(?i)(bus)es$", "\\1"),
+    (r"(?i)([m|l])ice$", "\\1ouse"),
+    (r"(?i)(x|ch|ss|sh)es$", "\\1"),
+    (r"(?i)(m)ovies$", "\\1ovie"),
+    (r"(?i)(.)ombies$", "\\1ombie"),
+    (r"(?i)(s)eries$", "\\1eries"),
+    (r"(?i)([^aeiouy]|qu)ies$", "\\1y"),
+    (r"(?i)([aeo]l)ves$", "\\1f"),
+    (r"(?i)([^d]ea)ves$", "\\1f"),
+    (r"(?i)(ar)ves$", "\\1f"),
+    (r"(?i)(erve)s$", "\\1"),
+    (r"(?i)([nlw]i)ves$", "\\1fe"),
+    (r"(?i)([lr])ves$", "\\1f"),
+    (r"(?i)([aeo])ves$", "\\1ve"),
+    (r"(?i)(sive)s$", "\\1"),
+    (r"(?i)(tive)s$", "\\1"),
+    (r"(?i)(hive)s$", "\\1"),
+    (r"(?i)([^f])ves$", "\\1fe"),
+    (r"(?i)(^analy)ses$", "\\1sis"),
+    (r"(?i)((a)naly|(b)a|(d)iagno|(p)arenthe|(p)rogno|(s)ynop|(t)he)ses$", "\\1\\2sis"),
+    (r"(?i)(.)opses$", "\\1opsis"),
+    (r"(?i)(.)yses$", "\\1ysis"),
+    (r"(?i)(h|d|r|o|n|b|cl|p)oses$", "\\1ose"),
+    (r"(?i)(fruct|gluc|galact|lact|ket|malt|rib|sacchar|cellul)ose$", "\\1ose"),
+    (r"(?i)(.)oses$", "\\1osis"),
+    (r"(?i)([ti])a$", "\\1um"),
+    (r"(?i)(n)ews$", "\\1ews"),
+    (r"(?i)s$", ""),
+]
+_RULES = [(_re.compile(p), r) for p, r in _SINGULAR_RULES]
+_UNINFLECTED = [
+    "bison", "bream", "breeches", "britches", "carp", "chassis", "christmas",
+    "clippers", "cod", "contretemps", "corps", "debris", "diabetes", "djinn",
+    "eland", "elk", "flounder", "gallows", "graffiti", "headquarters",
+    "herpes", "high-jinks", "homework", "innings", "jackanapes", "mackerel",
+    "measles", "mews", "mumps", "news", "pincers", "pliers", "proceedings",
+    "rabies", "salmon", "scissors", "series", "shears", "species", "swine",
+    "trout", "tuna", "whiting", "wildebeest",
+]
+_UNCOUNTABLE = [
+    "advice", "bread", "butter", "cheese", "electricity", "equipment",
+    "fruit", "furniture", "garbage", "gravel", "happiness", "information",
+    "ketchup", "knowledge", "love", "luggage", "mathematics", "mayonnaise",
+    "meat", "mustard", "news", "progress", "research", "rice", "sand",
+    "software", "understanding", "water",
+]
+_IE = [
+    "alergie", "cutie", "hoagie", "newbie", "softie", "veggie", "auntie",
+    "budgie", "caddie", "cookie", "genie", "lassie", "freebie",
+]
 _IRREGULAR = {
-    "people": "person",
-    "men": "man",
-    "women": "woman",
-    "children": "child",
-    "geese": "goose",
-    "mice": "mouse",
-    "teeth": "tooth",
-    "feet": "foot",
-    "oxen": "ox",
-    "sheep": "sheep",
-    "deer": "deer",
-    "fish": "fish",
-    "knives": "knife",
-    "wives": "wife",
-    "loaves": "loaf",
-    "leaves": "leaf",
-    "shelves": "shelf",
-    "wolves": "wolf",
-    "calves": "calf",
-    "scarves": "scarf",
-    "cacti": "cactus",
-    "skis": "ski",
-    "buses": "bus",
-    "bases": "base",
-}
-
-# words that look plural but are not (or whose -s must be kept)
-_UNCHANGED = {
-    "its",
-    "this",
-    "is",
-    "us",
-    "was",
-    "has",
-    "gas",
-    "grass",
-    "glass",
-    "class",
-    "pants",
-    "jeans",
-    "scissors",
-    "glasses",  # keep: "glasses" (eyewear) should not become "glasse";
-    "goggles",
-    "clothes",
-    "series",
-    "species",
-    "bus",
-    "chess",
-    "tennis",
-    "lens",
-    "less",
-    "dress",
-    "cross",
-    "press",
-    "mattress",
-    "address",
-    "across",
-    "delicious",
-    "various",
-    "spacious",
-    "previous",
-    "furious",
-    "curious",
-    "serious",
-    "dangerous",
-    "numerous",
-    "luscious",
-    "gorgeous",
-    "always",
-    "perhaps",
-    "whereas",
+    "atlantes": "atlas", "atlases": "atlas", "axes": "axe", "beeves": "beef",
+    "brethren": "brother", "children": "child", "corpora": "corpus",
+    "corpuses": "corpus", "ephemerides": "ephemeris", "feet": "foot",
+    "ganglia": "ganglion", "geese": "goose", "genera": "genus",
+    "genii": "genie", "graffiti": "graffito", "helves": "helve",
+    "kine": "cow", "leaves": "leaf", "loaves": "loaf", "men": "man",
+    "mongooses": "mongoose", "monies": "money", "moves": "move",
+    "mythoi": "mythos", "numena": "numen", "occipita": "occiput",
+    "octopodes": "octopus", "opera": "opus", "opuses": "opus", "our": "my",
+    "oxen": "ox", "penes": "penis", "penises": "penis", "people": "person",
+    "sexes": "sex", "soliloquies": "soliloquy", "teeth": "tooth",
+    "testes": "testis", "trilbys": "trilby", "turves": "turf", "zoa": "zoon",
 }
 
 
 def singularize(word: str) -> str:
+    if "-" in word:
+        parts = word.split("-")
+        return "-".join(parts[:-1] + [singularize(parts[-1])])
+    if word.endswith("'"):
+        return singularize(word[:-1]) + "'s"
     w = word.lower()
-    if w in _IRREGULAR:
-        return _IRREGULAR[w]
-    if w in _UNCHANGED or len(w) <= 2 or not w.endswith("s"):
-        return word
-    if w.endswith("ss") or w.endswith("us") or w.endswith("is"):
-        return word
-    if w.endswith("ies") and len(w) > 4:
-        return word[:-3] + "y"
-    if w.endswith("ves") and len(w) > 4:
-        return word[:-3] + "fe" if w[-4] in "i" else word[:-3] + "f"
-    if (
-        w.endswith("ches")
-        or w.endswith("shes")
-        or w.endswith("xes")
-        or w.endswith("sses")
-        or w.endswith("zes")
-        or w.endswith("oes")
-    ):
-        return word[:-2]
-    return word[:-1]
+    for x in _UNINFLECTED:
+        if x.endswith(w):
+            return word
+    for x in _UNCOUNTABLE:
+        if x.endswith(w):
+            return word
+    for x in _IE:
+        if w.endswith(x + "s"):
+            return w
+    for x, s in _IRREGULAR.items():
+        if w.endswith(x):
+            return _re.sub("(?i)" + x + "$", s, word)
+    for rx, repl in _RULES:
+        if rx.search(word):
+            return rx.sub(repl, word)
+    return word

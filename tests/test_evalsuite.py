@@ -24,18 +24,29 @@ REF = "/root/reference"
 
 # --- text pipeline -----------------------------------------------------------
 
-def test_singularize_coco_vocab():
+def test_singularize_matches_pattern_en():
+    """The singularizer replicates pattern.en.singularize (the function the
+    CHAIR metric is defined through), INCLUDING its famous quirks — verified
+    against the reference's archived outputs
+    (tests/test_chair_reference_parity.py)."""
     cases = {
+        # ordinary plurals
         "dogs": "dog", "people": "person", "men": "man", "women": "woman",
         "children": "child", "benches": "bench", "knives": "knife",
-        "buses": "bus", "skis": "ski", "sheep": "sheep", "couches": "couch",
-        "sandwiches": "sandwich", "glasses": "glasses", "scissors": "scissors",
+        "buses": "bus", "couches": "couch", "sandwiches": "sandwich",
         "pizzas": "pizza", "giraffes": "giraffe", "bananas": "banana",
-        "oranges": "orange", "cars": "car", "is": "is", "this": "this",
-        "boxes": "box", "wolves": "wolf", "vases": "vase",
+        "oranges": "orange", "cars": "car", "boxes": "box",
+        "wolves": "wolf", "vases": "vase", "gloves": "glove",
+        "microwaves": "microwave", "shoes": "shoe", "glasses": "glass",
+        "scissors": "scissors", "movies": "movie",
+        # pattern's quirks the metric depends on
+        "has": "ha", "his": "hi", "was": "wa", "this": "thi", "its": "it",
+        "bus": "bu", "glass": "glas", "various": "variou",
+        "slice": "slouse",  # the ([m|l])ice$ -> ouse rule
+        "skis": "ski",
     }
-    for plural, singular in cases.items():
-        assert singularize(plural) == singular, plural
+    for word, expected in cases.items():
+        assert singularize(word) == expected, (word, singularize(word), expected)
 
 
 def test_tokenize_basic():
