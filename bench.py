@@ -226,6 +226,27 @@ def run_once(n_layers):
     except Exception as e:
         print(f"int8 bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # optional full-prefill latency (vision tower + merge + LM + fused
+    # uncertainty kernel) — cold-start heavy over the tunnel, so opt-in
+    if os.environ.get("BENCH_PREFILL"):
+        try:
+            ids = np.array(
+                [[1] + list(range(4, 20)) + [cfg.image_token_index] + list(range(20, 36))],
+                np.int32,
+            )
+            px = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(np.float32)
+            st = ens_engine.prefill(ids, px)
+            _fetch(st.first_token)  # cold
+            t0 = time.perf_counter()
+            st = ens_engine.prefill(ids, px)
+            _fetch(st.first_token)
+            print(
+                f"prefill (608 tok + ViT-L/336): {(time.perf_counter() - t0) * 1000:.1f} ms",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote
     try:
         k8 = mk(True)

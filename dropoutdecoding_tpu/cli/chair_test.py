@@ -199,19 +199,24 @@ def run_engine(engine, processor, model, prompt, image):
             result = engine.generate(ids, tiles, orig)
     elif model == "instructblip":
         inputs = processor(prompt, image)
+        q_ids = (
+            processor.qformer_ids(prompt)
+            if hasattr(processor, "qformer_ids")
+            else inputs["input_ids"]
+        )
         if use_beam:
             from ..engine.baselines import beam_generate
 
             result = beam_generate(
                 engine,
                 state=engine.prefill(
-                    inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
+                    inputs["input_ids"], inputs["pixel_values"], q_ids
                 ),
                 num_beams=engine.gen.num_beams,
             )
         else:
             result = engine.generate(
-                inputs["input_ids"], inputs["pixel_values"], inputs["input_ids"]
+                inputs["input_ids"], inputs["pixel_values"], q_ids
             )
     else:
         inputs = processor(prompt, image)

@@ -151,17 +151,39 @@ class VlmProcessor:
     <image> placeholder token), 'pixel_values': [1, 3, H, W]} — the 4.44-era
     convention our merge implements (reference llava.py:74-153)."""
 
-    def __init__(self, tokenizer, image_processor, image_token: str = "<image>"):
+    def __init__(
+        self,
+        tokenizer,
+        image_processor,
+        image_token: str = "<image>",
+        qformer_tokenizer=None,
+    ):
         self.tokenizer = tokenizer
         self.image = image_processor
         self.image_token = image_token
+        # InstructBLIP's Q-Former reads the instruction through its own BERT
+        # tokenizer (stored under qformer_tokenizer/ in the checkpoint,
+        # reference instructblip generate qformer_input_ids)
+        self.qformer_tokenizer = qformer_tokenizer
 
     @classmethod
     def from_checkpoint(cls, model_dir: str) -> "VlmProcessor":
+        import os
+
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(model_dir, use_fast=True)
-        return cls(tok, ClipImagePreprocessor.from_checkpoint(model_dir))
+        qtok = None
+        qdir = os.path.join(model_dir, "qformer_tokenizer")
+        if os.path.isdir(qdir):
+            qtok = AutoTokenizer.from_pretrained(qdir, use_fast=True)
+        return cls(tok, ClipImagePreprocessor.from_checkpoint(model_dir), qformer_tokenizer=qtok)
+
+    def qformer_ids(self, prompt: str):
+        """Instruction ids in the Q-Former's tokenizer space (falls back to
+        the LM tokenizer when the checkpoint has no qformer_tokenizer)."""
+        tok = self.qformer_tokenizer or self.tokenizer
+        return tok(prompt, return_tensors="np")["input_ids"].astype("int32")
 
     def __call__(self, prompt: str, image=None):
         ids = self.tokenizer(prompt, return_tensors="np")["input_ids"]
