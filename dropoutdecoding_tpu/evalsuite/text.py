@@ -126,9 +126,22 @@ _IRREGULAR = {
 }
 
 
+_PREPOSITIONS = {
+    "about", "above", "across", "after", "among", "around", "at", "athwart",
+    "before", "behind", "below", "beneath", "beside", "besides", "between",
+    "betwixt", "beyond", "but", "by", "during", "except", "for", "from",
+    "in", "into", "near", "of", "off", "on", "onto", "out", "over", "since",
+    "till", "to", "under", "until", "unto", "upon", "with",
+}
+
+
 def singularize(word: str) -> str:
     if "-" in word:
+        # pattern's compound handling: 'mothers-in-law'-style words (second
+        # part a preposition) inflect the head; otherwise the last part
         parts = word.split("-")
+        if len(parts) > 1 and parts[1] in _PREPOSITIONS:
+            return "-".join([singularize(parts[0])] + parts[1:])
         return "-".join(parts[:-1] + [singularize(parts[-1])])
     if word.endswith("'"):
         return singularize(word[:-1]) + "'s"

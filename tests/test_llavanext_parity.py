@@ -81,6 +81,38 @@ def test_geometry_matches_hf():
         assert geo["n_tiles"] == n_tiles_hf, (size, geo, n_tiles_hf)
 
 
+def test_geometry_sweep_vs_hf(rng):
+    """Property sweep: tile counts and packed token lengths must match HF
+    across 200 random image sizes (host-side geometry only — cheap)."""
+    from transformers.models.llava_next.modeling_llava_next import (
+        get_anyres_image_grid_shape,
+        image_size_to_num_patches,
+        unpad_image,
+    )
+    import torch
+
+    cfg = LlavaNextConfig(
+        vision=LlavaNextConfig().vision.__class__(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, image_size=28, patch_size=7,
+        ),
+        image_grid_pinpoints=tuple(tuple(p) for p in PINPOINTS),
+    )
+    cells = 4
+    for _ in range(200):
+        h = int(rng.integers(10, 400))
+        w = int(rng.integers(10, 400))
+        geo = next_mod.image_geometry((h, w), cfg)
+        assert geo["n_tiles"] == image_size_to_num_patches([h, w], PINPOINTS, 28)
+        gh, gw = get_anyres_image_grid_shape((h, w), PINPOINTS, 28)
+        assert geo["grid"] == (gh, gw), (h, w)
+        # packed length == base + unpadded rows x (cols + newline)
+        t = torch.zeros(1, gh * cells, gw * cells)
+        un = unpad_image(t, (h, w))
+        uh, uw = un.shape[1], un.shape[2]
+        assert geo["n_tokens"] == 16 + uh * (uw + 1), (h, w, geo)
+
+
 def test_packing_matches_hf_pack_image_features(tiny_llava_next, rng):
     model, cfg, params, = tiny_llava_next
     for size in [(40, 50), (100, 30), (30, 95)]:
