@@ -419,6 +419,33 @@ def main(args):
         verbosity=True,
     )
 
+    if str2bool(getattr(args, "throne", False)):
+        # THRONE-format export + class-wise P/R scoring (the reference's
+        # chair2throne converter is missing from its repo, README.md:67)
+        from ..cli.chair2throne import convert
+        from ..evalsuite.chair import ChairEvaluator
+        from ..evalsuite.throne import evaluate_throne_file
+
+        throne_path = os.path.join(args.output_dir, "throne_" + filename + "l")
+        convert(captions_path, throne_path)
+        imids = [r["image_id"] for r in deduped]
+        ev = ChairEvaluator(imids)
+        ev.load_annotations(os.path.join(args.coco_data_dir, "annotations"))
+        score = evaluate_throne_file(
+            throne_path, {i: ev.imid_to_objects[i] for i in imids}
+        )
+        out_path = os.path.join(
+            "./results", args.method, f"llava_{model}", "coco",
+            f"llava_{model}_coco_throne_results.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(score, f, indent=2)
+        print(
+            f"THRONE: macro_f1={score['macro_f1']:.4f} "
+            f"macro_f05={score['macro_f05']:.4f} "
+            f"halluc_rate={score['hallucination_rate']:.4f} -> {out_path}"
+        )
+
 
 def build_parser():
     p = argparse.ArgumentParser()
@@ -480,6 +507,13 @@ def build_parser():
         choices=[None, "int8"],
         help="weight-only quantization of the LM tower (~2x decode "
         "throughput; per-channel symmetric int8)",
+    )
+    p.add_argument(
+        "--throne",
+        type=str2bool,
+        default=False,
+        help="also export THRONE-format responses and score class-wise "
+        "P/R/F (evalsuite/throne.py)",
     )
     return p
 

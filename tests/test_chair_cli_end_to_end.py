@@ -104,6 +104,7 @@ def test_chair_cli_main_end_to_end(synthetic_coco, tmp_path, monkeypatch, tiny_l
             "--seed", "0",
             "--output-dir", str(tmp_path / "outputs"),
             "--sample-save-name", str(tmp_path / "sample.log"),
+            "--throne", "True",
         ]
     )
     cli.main(args)
@@ -128,3 +129,9 @@ def test_chair_cli_main_end_to_end(synthetic_coco, tmp_path, monkeypatch, tiny_l
     result = json.load(open(tmp_path / f"{stem}.json"))
     assert 0.0 <= result["overall_metrics"]["CHAIRs"] <= 1.0
     assert len(result["sentences"]) == 4
+    # THRONE export + score (--throne True)
+    throne = json.load(
+        open(tmp_path / "results/itest/llava_llava-1.5/coco/llava_llava-1.5_coco_throne_results.json")
+    )
+    assert throne["num_responses"] == 4
+    assert 0.0 <= throne["hallucination_rate"] <= 1.0
