@@ -114,7 +114,9 @@ def main(args):
             answers.append({"question": q["text"], "answer": text})
 
         stamp = datetime.now().strftime("%m-%d_%H-%M-%S")
-        ans_path = os.path.join(ans_dir, f"{stamp}_ans.json")
+        # strategy in the name: the reference's timestamp-only scheme
+        # (pope_test.py:255-256) silently overwrites same-second runs
+        ans_path = os.path.join(ans_dir, f"{stamp}_{strategy}_ans.json")
         with open(ans_path, "w") as f:
             for a in answers:
                 f.write(json.dumps(a) + "\n")

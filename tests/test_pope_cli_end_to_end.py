@@ -1,0 +1,121 @@
+"""Whole-harness POPE integration: cli.pope_test.main() with a tiny engine
+over synthetic COCO — question generation, single-token probing, answer
+archive, confusion-matrix scoring (reference pope_test.py flow)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def synthetic_coco(tmp_path):
+    rng = np.random.default_rng(1)
+    ann = tmp_path / "annotations"
+    val = tmp_path / "val2014"
+    ann.mkdir()
+    val.mkdir()
+    images = []
+    for i in range(1, 7):
+        name = f"COCO_val2014_{i:012d}.jpg"
+        Image.fromarray(
+            (rng.random((36, 44, 3)) * 255).astype(np.uint8), "RGB"
+        ).save(val / name, "JPEG")
+        images.append({"id": i, "file_name": name})
+    instances = {
+        "categories": [
+            {"id": k, "name": n}
+            for k, n in enumerate(
+                ["dog", "chair", "cat", "car", "person", "bench"], start=1
+            )
+        ],
+        "images": images,
+        "annotations": [
+            {"id": 900 + i * 10 + j, "image_id": i, "category_id": 1 + (i + j) % 6}
+            for i in range(1, 7)
+            for j in range(3)
+        ],
+    }
+    (ann / "instances_val2014.json").write_text(json.dumps(instances))
+    (ann / "captions_val2014.json").write_text(
+        json.dumps({"images": images, "annotations": []})
+    )
+    return tmp_path
+
+
+class _TinyProcessor:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+        class _Tok:
+            eos_token_id = 2
+
+        self.tokenizer = _Tok()
+
+    def __call__(self, prompt, image=None):
+        ids = np.array([[1, 5, 9, self.cfg.image_token_index, 11, 13]], np.int32)
+        out = {"input_ids": ids}
+        if image is not None:
+            arr = np.asarray(image.resize((28, 28)), np.float32) / 255.0
+            out["pixel_values"] = arr.transpose(2, 0, 1)[None]
+        return out
+
+    def decode(self, token_ids, skip_special_tokens=True):
+        return "Yes" if (sum(int(t) for t in token_ids) % 2 == 0) else "No"
+
+
+def test_pope_cli_main_end_to_end(synthetic_coco, tmp_path, monkeypatch, tiny_llava):
+    from dropoutdecoding_tpu.cli import chair_test as chair_cli
+    from dropoutdecoding_tpu.cli import pope_test as cli
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_make_engine(args):
+        eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=48,
+            ensemble=True,
+        )
+        eng.param_dtype = jnp.float32
+        return eng, _TinyProcessor(cfg)
+
+    # pope_test imports make_engine from chair_test inside main()
+    monkeypatch.setattr(chair_cli, "make_engine", fake_make_engine)
+
+    pope_dir = str(tmp_path / "pope_out")
+    args = cli.build_parser().parse_args(
+        [
+            "--model", "llava",
+            "--model-path", "/unused",
+            "--coco-data-dir", str(synthetic_coco),
+            "--pope-dir", pope_dir,
+            "--refresh-data", "True",
+            "--number", "6",
+            "--seed", "0",
+        ]
+    )
+    cli.main(args)
+
+    # question files for all three strategies
+    qdir = os.path.join(pope_dir, "output", "coco")
+    for strategy in ("random", "popular", "adversarial"):
+        qs = [
+            json.loads(l)
+            for l in open(os.path.join(qdir, f"coco_pope_{strategy}.json"))
+        ]
+        assert qs and {q["label"] for q in qs} == {"yes", "no"}
+    # timestamped answer archives (one per strategy)
+    ans = os.listdir(os.path.join(pope_dir, "answer"))
+    assert len(ans) == 3
+    with open(os.path.join(pope_dir, "answer", ans[0])) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 6
+    assert set(rows[0]) == {"question", "answer"}
