@@ -206,29 +206,20 @@ def prefill(
     cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)  # [B, S, Dh]
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]  # broadcast over heads
 
-    # Long sequences (LLaVA-NeXT multi-tile) use the Pallas blockwise
-    # kernel on TPU to avoid materializing [B, H, S, S] scores in HBM
-    # (SURVEY.md §7 hard part #5); short prefills stay on the dense path
-    # which XLA fuses well.  platform_dependent keeps the choice tied to
-    # the lowering platform (CPU test meshes never see the TPU kernel).
-    use_flash = S >= 1024
+    # Long sequences (LLaVA-NeXT multi-tile) use query-chunked attention to
+    # avoid materializing [B, H, S, S] scores in HBM (SURVEY.md §7 hard
+    # part #5) — measured faster than dense at S~3k on v5e and backend-
+    # agnostic (ops/attention.chunked_prefill_attention; a Pallas flash
+    # kernel also exists in ops/pallas_attention but needs Mosaic tuning).
+    # Short prefills stay on the dense path which XLA fuses well.
+    use_chunked = S >= 1024
 
     def _attend(q, k, v):
-        if not use_flash:
-            return prefill_attention(q, k, v, causal=True, key_mask=key_mask)
+        if use_chunked:
+            from ..ops.attention import chunked_prefill_attention
 
-        def tpu_impl(q, k, v):
-            from ..ops.pallas_attention import flash_prefill_attention
-
-            return flash_prefill_attention(q, k, v, key_mask, causal=True)
-
-        return jax.lax.platform_dependent(
-            q, k, v,
-            tpu=tpu_impl,
-            default=lambda q, k, v: prefill_attention(
-                q, k, v, causal=True, key_mask=key_mask
-            ),
-        )
+            return chunked_prefill_attention(q, k, v, key_mask, causal=True)
+        return prefill_attention(q, k, v, causal=True, key_mask=key_mask)
 
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)

@@ -72,6 +72,59 @@ def prefill_attention(
     return out.astype(q.dtype)
 
 
+def chunked_prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    causal: bool = True,
+    chunk: int = 256,
+) -> jax.Array:
+    """Query-chunked causal attention via ``lax.map``.
+
+    Same results as ``prefill_attention`` but the score tensor exists only
+    as a [B, H, chunk, S] transient (~100 MB at LLaVA-NeXT scale instead of
+    the ~1.1 GB dense [B, H, S, S]).  Measured FASTER than dense at S≈3k on
+    v5e (better HBM locality), and unlike a hand-written kernel it runs on
+    every backend.  Used by models/llama.prefill for S >= 1024.
+    """
+    B, S, H, D = q.shape
+    KH = k.shape[2]
+    kf = repeat_kv(k, H // KH)
+    vf = repeat_kv(v, H // KH)
+    Sp = ((S + chunk - 1) // chunk) * chunk
+    qp = jnp.pad(q, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    km = (
+        key_mask[:, None, None, :].astype(bool)
+        if key_mask is not None
+        else jnp.ones((B, 1, 1, S), bool)
+    )
+
+    def one(ci):
+        qc = jax.lax.dynamic_slice_in_dim(qp, ci * chunk, chunk, axis=1)
+        s = (
+            jnp.einsum("bqhd,bkhd->bhqk", qc, kf, preferred_element_type=jnp.float32)
+            * scale
+        )
+        ok = km
+        if causal:
+            qi = ci * chunk + jnp.arange(chunk)[:, None]
+            ki = jnp.arange(S)[None, :]
+            ok = ok & (ki <= qi)[None, None]
+        s = jnp.where(ok, s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(vf.dtype), vf,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    outs = jax.lax.map(one, jnp.arange(Sp // chunk))  # [n, B, chunk, H, D]
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Sp, H, D)
+    return out[:, :S]
+
+
 def ensemble_decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

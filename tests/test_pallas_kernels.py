@@ -47,6 +47,25 @@ def test_flash_attention_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_chunked_attention_matches_dense(rng):
+    from dropoutdecoding_tpu.ops.attention import (
+        chunked_prefill_attention,
+        prefill_attention,
+    )
+
+    B, S, H, KH, D = 1, 300, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, S)) > 0.1)
+    ref = prefill_attention(q, k, v, causal=True, key_mask=mask)
+    got = chunked_prefill_attention(q, k, v, mask, causal=True, chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    got2 = chunked_prefill_attention(q, k, v, None, causal=True, chunk=64)
+    ref2 = prefill_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+
+
 def test_flash_attention_no_mask(rng):
     from dropoutdecoding_tpu.ops.attention import prefill_attention
     from dropoutdecoding_tpu.ops.pallas_attention import flash_prefill_attention
