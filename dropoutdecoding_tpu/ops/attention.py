@@ -72,6 +72,67 @@ def prefill_attention(
     return out.astype(q.dtype)
 
 
+def ensemble_decode_attention_int8kv(
+    q: jax.Array,
+    kq: jax.Array,
+    ks: jax.Array,
+    vq: jax.Array,
+    vs: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    key_mask: jax.Array,
+) -> jax.Array:
+    """ensemble_decode_attention over an int8-quantized cache
+    (utils/quantize.quantize_kv layout).
+
+    Dequantization never materializes a bf16 cache copy: per-key scales
+    fold into the score AFTER the int8->bf16 dot (score_s *= ks_s), and
+    per-value scales fold into the probabilities BEFORE the PV dot
+    (p_s *= vs_s) — so the HBM stream is the int8 cache + tiny scales.
+    Experimental: engine integration is a round-2 item; numerics validated
+    in tests/test_quantize.py.
+
+    Args:
+      q: [B, M, H, D]; kq/vq: [B, S, KH, D] int8; ks/vs: [B, S, KH, 1] f32;
+      k_new/v_new: [B, M, KH, D] (unquantized current token);
+      key_mask: [B, M, S].
+    """
+    B, M, H, D = q.shape
+    KH = kq.shape[2]
+    n_rep = H // KH
+    kc = repeat_kv(kq.astype(q.dtype), n_rep)  # int8 -> activation dtype
+    vc = repeat_kv(vq.astype(q.dtype), n_rep)
+    ksr = repeat_kv(ks, n_rep)[..., 0]  # [B, S, H]
+    vsr = repeat_kv(vs, n_rep)[..., 0]
+    kn = repeat_kv(k_new, n_rep)
+    vn = repeat_kv(v_new, n_rep)
+
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    cache_scores = (
+        jnp.einsum("bmhd,bshd->bmhs", q, kc, preferred_element_type=jnp.float32)
+        * scale
+    )
+    cache_scores = cache_scores * ksr.transpose(0, 2, 1)[:, None]  # fold k scales
+    cache_scores = jnp.where(
+        key_mask[:, :, None, :].astype(bool), cache_scores, _NEG_INF
+    )
+    self_scores = (
+        jnp.einsum("bmhd,bmhd->bmh", q, kn, preferred_element_type=jnp.float32)
+        * scale
+    )[..., None]
+    all_scores = jnp.concatenate([cache_scores, self_scores], axis=-1)
+    probs = jax.nn.softmax(all_scores, axis=-1)
+    cache_probs = probs[..., :-1] * vsr.transpose(0, 2, 1)[:, None]  # fold v scales
+    out = jnp.einsum(
+        "bmhs,bshd->bmhd",
+        cache_probs.astype(vc.dtype),
+        vc,
+        preferred_element_type=jnp.float32,
+    )
+    out = out + probs[..., -1:].astype(jnp.float32) * vn.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
 def chunked_prefill_attention(
     q: jax.Array,
     k: jax.Array,

@@ -36,6 +36,23 @@ def dequantize_matrix(wq: dict, dtype=jnp.float32) -> jax.Array:
     return (wq["q"].astype(jnp.float32) * wq["s"].astype(jnp.float32)).astype(dtype)
 
 
+def quantize_kv(x: jax.Array):
+    """Per-(token, head) symmetric int8 for K/V cache entries.
+
+    Args:
+      x: [..., D] keys or values (any leading dims).
+    Returns:
+      {"q": int8 [..., D], "s": f32 [..., 1]} — at LLaVA cache shapes the
+      scale overhead is 1/(2D) of the original bf16 bytes, and the cache
+      stream during decode halves (the decode bottleneck at large batch).
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
 def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
     """Quantize the per-layer projections (+ optionally lm_head) of a
     models/llama parameter pytree.  Norms and embeddings stay bf16."""

@@ -49,6 +49,34 @@ def test_quantized_tower_close_to_dense(rng):
     assert rel.max() < 0.05, rel.max()
 
 
+def test_int8_kv_attention_close_to_dense(rng):
+    """ensemble_decode_attention over an int8 cache tracks the bf16/fp32
+    path closely (experimental op; engine integration round 2)."""
+    from dropoutdecoding_tpu.ops.attention import (
+        ensemble_decode_attention,
+        ensemble_decode_attention_int8kv,
+    )
+    from dropoutdecoding_tpu.utils.quantize import quantize_kv
+
+    B, M, H, KH, D, S = 1, 3, 8, 4, 16, 40
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)).astype(np.float32))
+    kc = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(B, S, KH, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, M, S)) > 0.2)
+
+    ref = ensemble_decode_attention(q, kc, vc, kn, vn, mask)
+    kq = quantize_kv(kc)
+    vq = quantize_kv(vc)
+    got = ensemble_decode_attention_int8kv(
+        q, kq["q"], kq["s"], vq["q"], vq["s"], kn, vn, mask
+    )
+    err = np.abs(np.asarray(ref) - np.asarray(got))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.01, err.mean()
+
+
 def test_quantized_decode_runs(rng):
     cfg = LlamaConfig(
         vocab_size=64,
