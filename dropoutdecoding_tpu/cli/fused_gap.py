@@ -1,0 +1,290 @@
+"""Quantify the fused-step semantic gap (exact vs fused dropout decoding).
+
+The exact mode reproduces the reference's step semantics: the overlap
+keep-set is derived from the CURRENT step's unmasked argmax (reference
+llava.py:305->345), costing a second forward per token.  The fused mode
+(EnsembleConfig.fused_step) folds the unmasked member into one width-(K+1)
+forward and uses the PREVIOUS step's unmasked argmax for the keep-set —
+one weight stream per token, but a one-step lag in the overlap source.
+
+This study measures what that lag does to outputs:
+
+- token agreement between exact and fused runs from the same prefill and
+  the same RNG stream (the semantic gap);
+- token agreement between two exact runs under different RNG seeds (the
+  method's intrinsic run-to-run noise floor — the reference itself varies
+  by +-2 CHAIRs across seeds, SURVEY.md §6);
+- exact vs plain greedy (the method's effect size, for scale);
+- per-step vote-winner index distributions for exact vs fused (total
+  variation distance).
+
+Every study loop is validated against the engine: the exact replica's
+tokens must equal LlavaEngine.generate's before any number is reported.
+
+Usage:  python -m dropoutdecoding_tpu.cli.fused_gap [--prompts N]
+        [--seeds N] [--tokens T] [--hidden D] [--layers L] [--json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _build(hidden, layers, vocab, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import llava as llava_mod
+    from ..utils.config import ClipVisionConfig, LlamaConfig, LlavaConfig
+
+    cfg = LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=vocab,
+            hidden_size=hidden,
+            intermediate_size=hidden * 2,
+            num_hidden_layers=layers,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            head_dim=hidden // 8,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=hidden // 2,
+            intermediate_size=hidden,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=56,
+            patch_size=14,
+        ),
+        image_token_index=vocab - 2,
+        pad_token_id=vocab - 1,
+    )
+    params = llava_mod.init_params(cfg, jax.random.key(seed), jnp.float32)
+    return cfg, params
+
+
+def _engine(cfg, params, *, fused, ensemble=True, seed, T):
+    import jax.numpy as jnp
+
+    from ..engine.generate import LlavaEngine
+    from ..utils.config import EnsembleConfig, GenerationConfig
+
+    e = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(fused_step=fused),
+        gen=GenerationConfig(max_new_tokens=T, eos_token_id=-1, pad_token_id=0),
+        max_len=64 + T,
+        ensemble=ensemble,
+        seed=seed,
+    )
+    e.param_dtype = jnp.float32
+    return e
+
+
+def _stepper(engine, fused):
+    """One decode step mirroring engine._one_step's two modes, but also
+    returning the vote-winner index.  Faithfulness is asserted by the
+    caller (replica tokens == engine.generate tokens)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decoding.aggregate import select_by_vote
+    from ..models import llama as llama_mod
+
+    cfg = engine.cfg
+    K = engine.ens.k
+    Smax = engine.max_len
+
+    def step(params, state, cache, cur_len, token, steps, tm, prev_argmax0):
+        B = token.shape[0]
+        x = llama_mod.embed(params.lm, token)
+        base = jnp.arange(Smax)[None, :] < cur_len[:, None]
+        if fused:
+            drop = engine._member_drop_slots(
+                state, prev_argmax0, state.last_logits, steps, cur_len, tm
+            )
+            masks = jnp.concatenate(
+                [base[:, None, :], base[:, None, :] & ~drop], axis=1
+            )
+            xa = jnp.broadcast_to(x[:, None], (B, K + 1, x.shape[-1]))
+            ha, ka, va = llama_mod.decode_step(
+                params.lm, cfg.text, xa, cur_len, cache, masks
+            )
+            logits_all = llama_mod.lm_head(params.lm, ha)
+            argmax0 = jnp.argmax(logits_all[:, 0], -1)
+            winner, next_token = jax.vmap(select_by_vote)(logits_all[:, 1:])
+            kw = jnp.take_along_axis(
+                ka, (winner + 1)[None, :, None, None, None], 2
+            )[:, :, 0]
+            vw = jnp.take_along_axis(
+                va, (winner + 1)[None, :, None, None, None], 2
+            )[:, :, 0]
+        else:
+            h0, _, _ = llama_mod.decode_step(
+                params.lm, cfg.text, x[:, None], cur_len, cache, base[:, None]
+            )
+            logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]
+            argmax0 = jnp.argmax(logits0, -1)
+            drop = engine._member_drop_slots(
+                state, argmax0, logits0, steps, cur_len, tm
+            )
+            xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
+            hk, kk, vk = llama_mod.decode_step(
+                params.lm, cfg.text, xk, cur_len, cache, base[:, None] & ~drop
+            )
+            logits_k = llama_mod.lm_head(params.lm, hk)
+            winner, next_token = jax.vmap(select_by_vote)(logits_k)
+            kw = jnp.take_along_axis(
+                kk, winner[None, :, None, None, None], 2
+            )[:, :, 0]
+            vw = jnp.take_along_axis(
+                vk, winner[None, :, None, None, None], 2
+            )[:, :, 0]
+        cache = llama_mod.cache_set_rows(cache, cur_len, kw, vw)
+        return cache, next_token.astype(jnp.int32), winner, argmax0
+
+    return jax.jit(step)
+
+
+def _run_with_winners(engine, state, T, fused):
+    """Decode T tokens step by step, returning (tokens, winners)."""
+    import jax.numpy as jnp
+
+    from ..engine.generate import TextMaskState
+
+    B = state.first_token.shape[0]
+    tm = TextMaskState(
+        jnp.zeros((B, T), jnp.float32),
+        jnp.zeros((B, T), jnp.float32),
+        jnp.zeros((B, T), jnp.float32),
+    )
+    step = _stepper(engine, fused)
+    cache, cur_len = state.cache, state.cur_len
+    token = state.first_token
+    prev_argmax0 = state.first_token.astype(jnp.int32)
+    tokens, winners = [int(token[0])], []
+    for s in range(1, T):
+        cache, token, winner, prev_argmax0 = step(
+            engine.params, state, cache, cur_len,
+            token, jnp.full((B,), s, jnp.int32), tm, prev_argmax0,
+        )
+        cur_len = cur_len + 1
+        tokens.append(int(token[0]))
+        winners.append(int(winner[0]))
+    return np.asarray(tokens), np.asarray(winners)
+
+
+def _agreement(a: np.ndarray, b: np.ndarray) -> dict:
+    eq = a == b
+    first_div = int(np.argmin(eq)) if not eq.all() else len(a)
+    return {"match_rate": float(eq.mean()), "prefix_len": first_div}
+
+
+def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
+    import jax.numpy as jnp
+
+    cfg, params = _build(hidden, layers, vocab, model_seed)
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+
+    rows = []
+    winner_counts = {"exact": np.zeros(3), "fused": np.zeros(3)}
+    for p in range(n_prompts):
+        ids = np.array(
+            [[1, int(r.integers(3, vocab - 3)), img,
+              int(r.integers(3, vocab - 3)), 5]], np.int32
+        )
+        px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        for s in range(n_seeds):
+            seed = 24 + 1000 * s
+            exact = _engine(cfg, params, fused=False, seed=seed, T=T)
+            fusedE = _engine(cfg, params, fused=True, seed=seed, T=T)
+            exact2 = _engine(cfg, params, fused=False, seed=seed + 7, T=T)
+            greedy = _engine(cfg, params, fused=False, ensemble=False,
+                             seed=seed, T=T)
+
+            st = exact.prefill(ids, px)
+            tok_e, win_e = _run_with_winners(exact, st, T, fused=False)
+            # faithfulness: replica == engine's own while_loop generate
+            eng_tokens = np.asarray(exact._decode(exact.params, st)[0])[0]
+            np.testing.assert_array_equal(tok_e, eng_tokens)
+
+            tok_f, win_f = _run_with_winners(fusedE, st, T, fused=True)
+            eng_tokens_f = np.asarray(fusedE._decode(fusedE.params, st)[0])[0]
+            np.testing.assert_array_equal(tok_f, eng_tokens_f)
+
+            tok_e2 = np.asarray(exact2._decode(exact2.params, st)[0])[0]
+            tok_g = np.asarray(greedy._decode(greedy.params, st)[0])[0]
+
+            rows.append({
+                "prompt": p, "seed": s,
+                "exact_vs_fused": _agreement(tok_e, tok_f),
+                "exact_vs_exact_seed": _agreement(tok_e, tok_e2),
+                "exact_vs_greedy": _agreement(tok_e, tok_g),
+            })
+            for w in win_e:
+                winner_counts["exact"][w] += 1
+            for w in win_f:
+                winner_counts["fused"][w] += 1
+
+    def summarize(key):
+        m = [r[key]["match_rate"] for r in rows]
+        pl = [r[key]["prefix_len"] for r in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    pe = winner_counts["exact"] / max(winner_counts["exact"].sum(), 1)
+    pf = winner_counts["fused"] / max(winner_counts["fused"].sum(), 1)
+    return {
+        "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T},
+        "exact_vs_fused": summarize("exact_vs_fused"),
+        "exact_vs_exact_seed_noise_floor": summarize("exact_vs_exact_seed"),
+        "exact_vs_greedy_effect_size": summarize("exact_vs_greedy"),
+        "winner_dist_exact": [round(float(x), 4) for x in pe],
+        "winner_dist_fused": [round(float(x), 4) for x in pf],
+        "winner_tv_distance": round(float(np.abs(pe - pf).sum() / 2), 4),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--prompts", type=int, default=4)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--tokens", type=int, default=24)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--vocab", type=int, default=512)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--platform",
+        default="cpu",
+        choices=["cpu", "default"],
+        help="tiny-model study; cpu avoids tying up the TPU (default: cpu)",
+    )
+    args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    out = run_study(
+        args.hidden, args.layers, args.vocab,
+        args.prompts, args.seeds, args.tokens,
+    )
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

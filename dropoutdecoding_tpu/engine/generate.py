@@ -125,6 +125,9 @@ class LlavaEngine:
     ensemble: bool = True  # False => plain greedy ("--original")
     text_logits_mask: bool = False  # the "+ logit text-mask" variant
     text_mask_policy: str = "none"  # "none" | "logits" | "entropy"
+    int8_kv: bool = False  # int8-quantized KV cache (halves the decode
+    #   cache stream; pairs with utils/quantize.quantize_llama_params for
+    #   full-depth 7B on a 16 GB chip)
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -172,11 +175,10 @@ class LlavaEngine:
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
-        cache = KVCache.empty(cfg.text, B, self.max_len, self.param_dtype)
-        cache = KVCache(
-            jax.lax.dynamic_update_slice_in_dim(cache.k, kv.k, 0, axis=2),
-            jax.lax.dynamic_update_slice_in_dim(cache.v, kv.v, 0, axis=2),
+        cache = llama_mod.empty_cache(
+            cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
         )
+        cache = llama_mod.cache_seed(cache, kv)
         cur_len = jnp.full((B,), S, jnp.int32)
         return PrefillState(
             cache=cache,
@@ -382,10 +384,7 @@ class LlavaEngine:
                 )[:, 0]
                 tm = _record_text_stats(tm, steps, winner_logits)
 
-        cache = KVCache(
-            cache.k.at[:, jnp.arange(B), cur_len].set(kw),
-            cache.v.at[:, jnp.arange(B), cur_len].set(vw),
-        )
+        cache = llama_mod.cache_set_rows(cache, cur_len, kw, vw)
 
         prev_done = done
         next_token = jnp.where(prev_done, self.gen.pad_token_id, next_token)

@@ -18,7 +18,6 @@ import numpy as np
 
 from ..models import instructblip as ib_mod
 from ..models import llama as llama_mod
-from ..models.llama import KVCache
 from ..ops.uncertainty import vision_uncertainty_auto
 from .generate import LlavaEngine, PrefillState, extract_probe_ids
 
@@ -49,11 +48,10 @@ class InstructBlipEngine(LlavaEngine):
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
-        cache = KVCache.empty(cfg.text, B, self.max_len, self.param_dtype)
-        cache = KVCache(
-            jax.lax.dynamic_update_slice_in_dim(cache.k, kv.k, 0, axis=2),
-            jax.lax.dynamic_update_slice_in_dim(cache.v, kv.v, 0, axis=2),
+        cache = llama_mod.empty_cache(
+            cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
         )
+        cache = llama_mod.cache_seed(cache, kv)
         return PrefillState(
             cache=cache,
             cur_len=jnp.full((B,), S, jnp.int32),

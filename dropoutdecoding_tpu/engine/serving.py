@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.llama import KVCache
+from ..models import llama as llama_mod
 from .generate import PrefillState, TextMaskState
 
 
@@ -43,7 +43,9 @@ class DecodeServer:
         V = cfg.text.vocab_size
         dt = eng.param_dtype
 
-        cache = KVCache.empty(cfg.text, S, eng.max_len, dt)
+        cache = llama_mod.empty_cache(
+            cfg.text, S, eng.max_len, dt, quantized=getattr(eng, "int8_kv", False)
+        )
         self._state = PrefillState(
             cache=cache,
             cur_len=jnp.ones((S,), jnp.int32),  # >=1 so masks stay sane
@@ -93,10 +95,7 @@ class DecodeServer:
 
         st = self._state
         self._state = PrefillState(
-            cache=KVCache(
-                st.cache.k.at[:, slot].set(ps.cache.k[:, 0].astype(st.cache.k.dtype)),
-                st.cache.v.at[:, slot].set(ps.cache.v[:, 0].astype(st.cache.v.dtype)),
-            ),
+            cache=llama_mod.cache_copy_slot(st.cache, ps.cache, slot),
             cur_len=st.cur_len.at[slot].set(ps.cur_len[0]),
             last_logits=st.last_logits.at[slot].set(ps.last_logits[0]),
             first_token=st.first_token.at[slot].set(ps.first_token[0]),

@@ -34,7 +34,14 @@ from ..utils.config import LlamaConfig
 
 
 class KVCache(NamedTuple):
-    """Canonical cache: [L, B, Smax, KH, D] each."""
+    """Canonical cache: [L, B, Smax, KH, D] each.
+
+    Leaves are either dense arrays or, for the int8 cache, dicts
+    ``{"q": int8 [L,B,S,KH,D], "s": f32 [L,B,S,KH,1]}`` (per-(token, head)
+    symmetric scales, utils/quantize.quantize_kv).  All cache plumbing goes
+    through the ``cache_*`` helpers below so both layouts flow through the
+    same engine code; ``decode_step`` dispatches on the leaf type.
+    """
 
     k: jax.Array
     v: jax.Array
@@ -49,6 +56,94 @@ class KVCache(NamedTuple):
             cfg.head_dim,
         )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def empty_cache(
+    cfg: LlamaConfig,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVCache:
+    """Allocate the canonical cache; int8 layout when ``quantized``.
+
+    The int8 cache halves the decode-time HBM stream (the per-step
+    bottleneck once weights are int8 too) at a numerics cost bounded by
+    tests/test_quantize.py; scales init to 1 so untouched slots dequantize
+    to 0."""
+    if not quantized:
+        return KVCache.empty(cfg, batch, max_len, dtype)
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    sshape = shape[:-1] + (1,)
+
+    def leaf():
+        return {"q": jnp.zeros(shape, jnp.int8), "s": jnp.ones(sshape, jnp.float32)}
+
+    return KVCache(leaf(), leaf())
+
+
+def cache_is_quantized(cache: KVCache) -> bool:
+    return isinstance(cache.k, dict)
+
+
+def _leaf_map(f, *leaves):
+    """Apply f across matching dense-or-{"q","s"} cache leaves."""
+    if isinstance(leaves[0], dict):
+        return {n: f(*(leaf[n] for leaf in leaves)) for n in leaves[0]}
+    return f(*leaves)
+
+
+def _quantize_new(cache: KVCache, k_new: jax.Array, v_new: jax.Array):
+    """Bring unquantized new K/V into the cache's leaf layout."""
+    if not cache_is_quantized(cache):
+        return k_new, v_new
+    from ..utils.quantize import quantize_kv
+
+    return quantize_kv(k_new), quantize_kv(v_new)
+
+
+def cache_seed(cache: KVCache, kv: KVCache) -> KVCache:
+    """Write the prefill K/V ([L, B, S0, KH, D], dense) at slot 0."""
+    kn, vn = _quantize_new(cache, kv.k, kv.v)
+
+    def upd(c, new):
+        return jax.lax.dynamic_update_slice_in_dim(
+            c, new.astype(c.dtype), 0, axis=2
+        )
+
+    return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
+
+
+def cache_set_rows(
+    cache: KVCache, cur_len: jax.Array, k_new: jax.Array, v_new: jax.Array
+) -> KVCache:
+    """Scatter the winner's new-token K/V ([L, B, KH, D], dense) into slot
+    ``cur_len[b]`` of each row — the engine's per-step cache append."""
+    B = k_new.shape[1]
+    rows = jnp.arange(B)
+    kn, vn = _quantize_new(cache, k_new, v_new)
+
+    def upd(c, new):
+        return c.at[:, rows, cur_len].set(new.astype(c.dtype))
+
+    return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
+
+
+def cache_copy_slot(dst: KVCache, src: KVCache, slot) -> KVCache:
+    """Copy row 0 of ``src`` into row ``slot`` of ``dst`` (serving-layer
+    slot placement).  Both caches must share a leaf layout."""
+    assert cache_is_quantized(dst) == cache_is_quantized(src)
+
+    def upd(d, s):
+        return d.at[:, slot].set(s[:, 0].astype(d.dtype))
+
+    return KVCache(_leaf_map(upd, dst.k, src.k), _leaf_map(upd, dst.v, src.v))
 
 
 def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
@@ -268,6 +363,10 @@ def decode_step(
     cos, sin = rotary_embedding(position, Dh, cfg.rope_theta)  # [B, Dh]
     cos, sin = cos[:, None, None, :], sin[:, None, None, :]  # [B,1,1,Dh]
 
+    quantized = cache_is_quantized(cache)
+    if quantized:
+        from ..ops.attention import ensemble_decode_attention_int8kv
+
     def layer(xc, scanned):
         lp, kc, vc = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
@@ -276,7 +375,12 @@ def decode_step(
         v = _mm(h, lp["v_proj"]).reshape(B, M, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = ensemble_decode_attention(q, kc, vc, k, v, key_mask)
+        if quantized:
+            attn = ensemble_decode_attention_int8kv(
+                q, kc["q"], kc["s"], vc["q"], vc["s"], k, v, key_mask
+            )
+        else:
+            attn = ensemble_decode_attention(q, kc, vc, k, v, key_mask)
         attn = attn.reshape(B, M, H * Dh)
         xc = xc + _mm(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)

@@ -123,10 +123,16 @@ def shard_llava_params(params, mesh: Mesh):
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     spec = P(None, "data", None, "model", None)  # [L, B, S, KH, D]
-    return KVCache(
-        jax.device_put(cache.k, NamedSharding(mesh, spec)),
-        jax.device_put(cache.v, NamedSharding(mesh, spec)),
-    )
+    sharding = NamedSharding(mesh, spec)
+
+    def put(leaf):
+        # int8 cache leaves are {"q": [L,B,S,KH,D], "s": [L,B,S,KH,1]};
+        # both carry the KH axis at dim 3, so the same spec applies.
+        if isinstance(leaf, dict):
+            return {n: jax.device_put(a, sharding) for n, a in leaf.items()}
+        return jax.device_put(leaf, sharding)
+
+    return KVCache(put(cache.k), put(cache.v))
 
 
 def data_sharding(mesh: Mesh, *batch_axis_first_shapes):

@@ -99,3 +99,100 @@ def test_quantized_decode_runs(rng):
         params, cfg, llama.embed(params, tok)[:, None], jnp.full((1,), 5), cache, mask
     )
     assert h.shape == (1, 1, 32)
+
+
+def test_int8_kv_engine_end_to_end(rng):
+    """LlavaEngine(int8_kv=True): quantized-cache generate runs end to end
+    and its first ensemble step tracks the dense-cache step (the engine
+    quantizes the prefill KV on seed and the winner KV on scatter —
+    models/llama.cache_seed / cache_set_rows)."""
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.models import llava as llava_mod
+    from dropoutdecoding_tpu.models.llama import cache_is_quantized
+    from dropoutdecoding_tpu.utils.config import (
+        ClipVisionConfig,
+        EnsembleConfig,
+        GenerationConfig,
+        LlavaConfig,
+    )
+
+    cfg = LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            head_dim=8,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=14,
+        ),
+        image_token_index=126,
+        pad_token_id=127,
+    )
+    params = llava_mod.init_params(cfg, jax.random.key(2), jnp.float32)
+
+    def eng(**kw):
+        e = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=6, eos_token_id=2, pad_token_id=2),
+            max_len=32,
+            ensemble=True,
+            **kw,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    ids = np.array([[1, 7, cfg.image_token_index, 11, 13]], np.int32)
+    px = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+
+    dense = eng()
+    quant = eng(int8_kv=True)
+    sd = dense.prefill(ids, px)
+    sq = quant.prefill(ids, px)
+    assert not cache_is_quantized(sd.cache)
+    assert cache_is_quantized(sq.cache)
+    assert sq.cache.k["q"].dtype == jnp.int8
+    # prefill math identical (cache layout only affects decode reads)
+    np.testing.assert_allclose(
+        np.asarray(sq.last_logits), np.asarray(sd.last_logits), rtol=1e-6
+    )
+
+    # one ensemble step: int8 cache read tracks dense closely at this scale
+    from dropoutdecoding_tpu.engine.generate import TextMaskState
+
+    def one_step(engine, state):
+        B, T = 1, 6
+        tm = TextMaskState(
+            jnp.zeros((B, T), jnp.float32),
+            jnp.zeros((B, T), jnp.float32),
+            jnp.zeros((B, T), jnp.float32),
+        )
+        carry = (
+            state.cache,
+            state.cur_len,
+            state.first_token,
+            jnp.ones((B,), jnp.int32),
+            jnp.full((B, T), 2, jnp.int32),
+            jnp.zeros((B,), bool),
+            tm,
+            state.first_token.astype(jnp.int32),
+        )
+        return engine._one_step(engine.params, state, carry)
+
+    od = one_step(dense, sd)
+    oq = one_step(quant, sq)
+    assert int(od[2][0]) == int(oq[2][0])  # same winner token
+
+    # full generate runs under jit with the quantized cache
+    out = quant.generate(ids, px)
+    assert out.tokens.shape == (1, 6)

@@ -84,3 +84,17 @@ def test_server_fused_mode(tiny_llava, rng):
     results = server.run(list(reqs), lambda rid: reqs[rid])
     for rid in reqs:
         np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
+
+
+def test_server_int8_kv(tiny_llava, rng):
+    """Continuous batching over an int8-quantized slot cache: server
+    results equal the same engine's solo generate (rng_id pinned by
+    submit), exercising cache_copy_slot on {"q","s"} leaves."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params, int8_kv=True)
+    reqs = _requests(rng, 2)
+    solo = {rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()}
+    server = DecodeServer(engine=eng, n_slots=2)
+    results = server.run(list(reqs), lambda rid: reqs[rid])
+    for rid in reqs:
+        np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
