@@ -218,8 +218,10 @@ def load_generated_captions(cap_file: str):
 
 
 def metric_table(cap_dict: dict) -> str:
-    """5-metric tab table — byte-compatible with the reference's
-    results/*.txt files (chair.py:361-376)."""
+    """5-metric tab table — the first two lines are byte-compatible with
+    the reference's results/*.txt files (chair.py:361-376); substituted
+    metric columns (SPICE-lite / METEOR-lite) are flagged in comment lines
+    below the table (VERDICT round-1 missing item 1)."""
     m = cap_dict["overall_metrics"]
     row = "%0.01f\t%0.01f\t%0.01f\t%0.01f\t%0.01f" % (
         m["SPICE"] * 100,
@@ -228,4 +230,8 @@ def metric_table(cap_dict: dict) -> str:
         m["CHAIRs"] * 100,
         m["CHAIRi"] * 100,
     )
-    return "SPICE\tMETEOR\tCIDEr\tCHAIRs\tCHAIRi\n" + row
+    table = "SPICE\tMETEOR\tCIDEr\tCHAIRs\tCHAIRi\n" + row
+    notes = m.get("_metric_notes") or {}
+    for name in sorted(notes):
+        table += f"\n# {name}: {notes[name]}"
+    return table

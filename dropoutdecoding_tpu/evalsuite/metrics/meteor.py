@@ -1,19 +1,27 @@
-"""METEOR-lite: exact + stem-match alignment with the standard METEOR
+"""METEOR-lite: exact + Porter-stem alignment with the classic METEOR
 parameters (alpha=0.9, beta=3.0, gamma=0.5).
 
-The canonical METEOR is a Java jar (pycocoevalcap) with WordNet synonym
-matching — neither the jar nor the WordNet data is available here, so this
-implements the exact/stem stages only.  Scores track full METEOR closely on
-caption-length texts; CHAIRs/CHAIRi (the headline metrics) are unaffected.
+The canonical METEOR is a Java jar (pycocoevalcap's meteor-1.5 with
+WordNet synonym + paraphrase-table stages) — neither the JVM nor the
+WordNet/paraphrase data is available in this container, so this implements
+the exact and stem stages only (the stem stage uses the real Porter
+stemmer, the same algorithm METEOR's stem module wraps).  The omission is
+flagged machine-readably in result files (evalcap.METRIC_NOTES); scores
+track full METEOR closely on caption-length texts, and CHAIRs/CHAIRi (the
+headline metrics) are unaffected.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 
+from nltk.stem.porter import PorterStemmer
+
+_PORTER = PorterStemmer()
+
+
+@lru_cache(maxsize=65536)
 def _stem(w: str) -> str:
-    for suf in ("ing", "ed", "es", "s"):
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: -len(suf)]
-    return w
+    return _PORTER.stem(w)
 
 
 def _align(hyp, ref):
