@@ -99,8 +99,22 @@ def main(args):
     os.makedirs(ans_dir, exist_ok=True)
     image_base = os.path.join(args.coco_data_dir, "val2014")
 
+    # Snapshot the question sets used by THIS run into
+    # pope_samples/<timestamp>/coco/ (reference pope_test.py:33-53), so
+    # answer archives stay reproducible even after --refresh-data
+    # regenerates the live question files.
+    import shutil
+
+    run_stamp = datetime.now().strftime("%m-%d_%H-%M-%S")
+    snap_dir = os.path.join(args.pope_dir, "pope_samples", run_stamp, "coco")
+    os.makedirs(snap_dir, exist_ok=True)
     for strategy in ("adversarial", "popular", "random"):
-        qfile = os.path.join(question_dir, f"coco_pope_{strategy}.json")
+        src = os.path.join(question_dir, f"coco_pope_{strategy}.json")
+        shutil.copy2(src, os.path.join(snap_dir, os.path.basename(src)))
+    print(f"Question snapshot: {snap_dir}")
+
+    for strategy in ("adversarial", "popular", "random"):
+        qfile = os.path.join(snap_dir, f"coco_pope_{strategy}.json")
         print(f"the pope file is {qfile}")
         questions = parse_question_file(qfile)
         n = min(args.number, len(questions))
@@ -113,13 +127,19 @@ def main(args):
             text = run_engine(engine, processor, model_key, prompt, image).strip()
             answers.append({"question": q["text"], "answer": text})
 
-        stamp = datetime.now().strftime("%m-%d_%H-%M-%S")
         # strategy in the name: the reference's timestamp-only scheme
         # (pope_test.py:255-256) silently overwrites same-second runs
-        ans_path = os.path.join(ans_dir, f"{stamp}_{strategy}_ans.json")
+        ans_path = os.path.join(ans_dir, f"{run_stamp}_{strategy}_ans.json")
         with open(ans_path, "w") as f:
             for a in answers:
                 f.write(json.dumps(a) + "\n")
+        # sidecar keeps the answers file format-identical to the
+        # reference's archives while linking it to its question snapshot
+        with open(ans_path.replace("_ans.json", "_ans.meta.json"), "w") as f:
+            json.dump(
+                {"question_snapshot": snap_dir, "strategy": strategy,
+                 "n": len(answers)}, f,
+            )
         print(f"Answer file: {ans_path}")
         scores = score_answers(answers, [q["label"] for q in questions[:n]])
         print_scores(scores)

@@ -112,10 +112,29 @@ def test_pope_cli_main_end_to_end(synthetic_coco, tmp_path, monkeypatch, tiny_ll
             for l in open(os.path.join(qdir, f"coco_pope_{strategy}.json"))
         ]
         assert qs and {q["label"] for q in qs} == {"yes", "no"}
-    # timestamped answer archives (one per strategy)
-    ans = os.listdir(os.path.join(pope_dir, "answer"))
-    assert len(ans) == 3
+    # timestamped answer archives (one per strategy) + snapshot sidecars
+    listing = os.listdir(os.path.join(pope_dir, "answer"))
+    ans = [a for a in listing if a.endswith("_ans.json")]
+    metas = [a for a in listing if a.endswith("_ans.meta.json")]
+    assert len(ans) == 3 and len(metas) == 3
     with open(os.path.join(pope_dir, "answer", ans[0])) as f:
         rows = [json.loads(l) for l in f]
     assert len(rows) == 6
     assert set(rows[0]) == {"question", "answer"}
+    # the run's question snapshot exists and holds the three files used
+    with open(os.path.join(pope_dir, "answer", metas[0])) as f:
+        meta = json.load(f)
+    snap = meta["question_snapshot"]
+    assert os.path.isdir(snap), snap
+    snap_files = sorted(os.listdir(snap))
+    assert snap_files == [
+        "coco_pope_adversarial.json",
+        "coco_pope_popular.json",
+        "coco_pope_random.json",
+    ]
+    # snapshot content == the live question files at run time
+    for fn in snap_files:
+        with open(os.path.join(snap, fn)) as a, open(
+            os.path.join(qdir, fn)
+        ) as b:
+            assert a.read() == b.read()
