@@ -301,16 +301,22 @@ def prefill(
     cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)  # [B, S, Dh]
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]  # broadcast over heads
 
-    # Long sequences (LLaVA-NeXT multi-tile) use query-chunked attention to
-    # avoid materializing [B, H, S, S] scores in HBM (SURVEY.md §7 hard
-    # part #5) — measured faster than dense at S~3k on v5e and backend-
-    # agnostic (ops/attention.chunked_prefill_attention; a Pallas flash
-    # kernel also exists in ops/pallas_attention but needs Mosaic tuning).
-    # Short prefills stay on the dense path which XLA fuses well.
-    use_chunked = S >= 1024
+    # Long sequences (LLaVA-NeXT multi-tile) avoid materializing
+    # [B, H, S, S] scores in HBM (SURVEY.md §7 hard part #5).  On TPU the
+    # Pallas flash kernel is the fast path (0.98 ms/layer at S=3k on v5e
+    # vs 4.3 ms for query-chunked XLA — ops/pallas_attention.py header);
+    # other backends (the CPU test mesh) use the backend-agnostic
+    # query-chunked attention.  Short prefills stay dense, which XLA
+    # fuses well.  Backend choice happens at trace time.
+    use_long = S >= 1024
+    use_flash = use_long and jax.default_backend() == "tpu"
 
     def _attend(q, k, v):
-        if use_chunked:
+        if use_flash:
+            from ..ops.pallas_attention import flash_prefill_attention
+
+            return flash_prefill_attention(q, k, v, key_mask, causal=True)
+        if use_long:
             from ..ops.attention import chunked_prefill_attention
 
             return chunked_prefill_attention(q, k, v, key_mask, causal=True)

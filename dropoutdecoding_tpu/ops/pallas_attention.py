@@ -1,12 +1,22 @@
-"""Pallas blockwise (flash) attention for prefill.
+"""Pallas blockwise (flash) attention for prefill — the production
+long-sequence path on TPU (wired into models/llama.prefill for S >= 1024).
 
 At LLaVA-NeXT lengths (~3k visual+text tokens) a dense prefill would
 materialize per-head [S, S] score tensors in HBM (32 heads x 3k x 3k fp32
 ~ 1.2 GB).  This kernel tiles queries and keeps K/V resident in VMEM
-(S <= ~4k fits comfortably: 2 x S x 128 fp32 = 3 MB), so scores exist only
-as a [BQ, S] VMEM tile.  Queries are blocked; softmax is computed per tile
-in fp32.  Supports causal masking + key-padding masks (the LLaVA-NeXT
+(S <= ~4k fits comfortably: 2 x S x 128 bf16 = 1.5 MB), so scores exist
+only as a [BQ, S] VMEM tile.  Queries are blocked; softmax is computed per
+tile in fp32.  Supports causal masking + key-padding masks (the LLaVA-NeXT
 padded-merge path).
+
+Measured on 1x v5e at S=2880-3072, H=32, D=128, bf16 (scan-chained
+timing, single host fetch — per-call fetches over the axon tunnel add a
+~31 ms constant that buried the kernel's real cost in round 1):
+
+  ours (BQ=512):                 0.98 ms/call
+  chunked XLA (ops/attention):   4.29 ms/call
+  jax.experimental flash (ref):  4.18 ms/call
+  dense-flops roofline:         ~0.36 ms
 
 For the decode step the cache matvec is already a small batched GEMV that
 XLA emits optimally; no custom kernel needed there.
@@ -20,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BQ = 256
+_BQ = 512  # best of {128, 256, 512} on v5e at S~3k
 _NEG = -1e30
 
 
