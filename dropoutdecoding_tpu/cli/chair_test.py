@@ -342,26 +342,49 @@ def main(args):
     profile_dir = getattr(args, "profile_dir", None)
 
     batch = max(getattr(args, "batch_size", 1) or 1, 1)
-    if batch > 1 and model == "llava-1.5" and engine.ensemble:
+    if batch > 1 and model in ("llava-1.5", "llava-next") and engine.ensemble:
         # batched data-parallel path (identical prompt => identical merged
-        # lengths; the engine's batch axis shards on the mesh's "data" axis)
+        # lengths; the engine's batch axis shards on the mesh's "data"
+        # axis).  LLaVA-NeXT rows carry per-image tile stacks + original
+        # sizes; the engine pads tile counts per batch (llavanext_engine).
         import numpy as _np
+
+        if model == "llava-next":
+            from ..utils.processor import LlavaNextImagePreprocessor
+
+            next_prep = LlavaNextImagePreprocessor(
+                [list(p) for p in engine.cfg.image_grid_pinpoints],
+                tile_size=engine.cfg.vision.image_size,
+            )
 
         for start in tqdm(range(0, len(img_files), batch)):
             group = img_files[start : start + batch]
-            ids_list, px_list = [], []
+            ids_list, px_list, size_list = [], [], []
             for img_file in group:
                 image = Image.open(
                     os.path.join(args.coco_data_dir, "val2014", img_file)
                 ).convert("RGB")
-                inputs = processor(PROMPTS[model], image)
-                ids_list.append(inputs["input_ids"][0])
-                px_list.append(inputs["pixel_values"][0])
+                if model == "llava-next":
+                    tiles, orig = next_prep(image)
+                    ids_list.append(processor(PROMPTS[model])["input_ids"][0])
+                    px_list.append(tiles)
+                    size_list.append(orig)
+                else:
+                    inputs = processor(PROMPTS[model], image)
+                    ids_list.append(inputs["input_ids"][0])
+                    px_list.append(inputs["pixel_values"][0])
             n_pad = batch - len(group)  # keep shapes static on the last group
             for _ in range(n_pad):
                 ids_list.append(ids_list[-1])
                 px_list.append(px_list[-1])
-            result = engine.generate(_np.stack(ids_list), _np.stack(px_list))
+                if size_list:
+                    size_list.append(size_list[-1])
+            if model == "llava-next":
+                result = engine.generate(
+                    _np.stack(ids_list), px_list, size_list
+                )
+            else:
+                result = engine.generate(_np.stack(ids_list), _np.stack(px_list))
             for i, img_file in enumerate(group):
                 text = processor.decode(result.tokens[i][: result.num_tokens[i]])
                 emit(img_file, text)
@@ -484,7 +507,8 @@ def build_parser():
         "--batch-size",
         type=int,
         default=1,
-        help="images per device batch (llava-1.5 dropout decoding; the "
+        help="images per device batch (llava-1.5 / llava-next dropout "
+        "decoding; the "
         "batch axis data-parallelizes across a mesh)",
     )
     p.add_argument(

@@ -153,7 +153,9 @@ def load(model_dir: str, dtype=jnp.bfloat16, cache: bool = True):
 # device-side feature packing
 # ---------------------------------------------------------------------------
 
-def packing_indices(cfg: LlavaNextConfig, geometry: dict, out_len: int):
+def packing_indices(
+    cfg: LlavaNextConfig, geometry: dict, out_len: int, pad_tiles: int | None = None
+):
     """HOST-side gather plan for spatial_unpad packing.
 
     Returns (gather_idx [out_len] int32, valid [out_len] bool) where
@@ -164,13 +166,17 @@ def packing_indices(cfg: LlavaNextConfig, geometry: dict, out_len: int):
     with a newline feature per row) — but as DATA, so the device program's
     shape depends only on (n_tiles, out_len) and aspect-ratio variation
     never recompiles.
+
+    ``pad_tiles``: when images are batched, every row's tile stack is
+    padded to a common count; the newline vector then lives at
+    ``pad_tiles * num_patches`` in each row's flat feature source.
     """
     gh, gw = geometry["grid"]
     top, left, uh, uw = geometry["crop"]
     cells = cfg.vision.image_size // cfg.vision.patch_size
     n_base = cfg.vision.num_patches
     n_tiles = geometry["n_tiles"]
-    newline_idx = n_tiles * n_base
+    newline_idx = (pad_tiles if pad_tiles is not None else n_tiles) * n_base
 
     idx = list(range(n_base))  # base tile features (tile 0)
     for r in range(top, top + uh):
@@ -208,6 +214,73 @@ def pack_image_features(
         [feats.reshape(-1, D), params.image_newline[None].astype(feats.dtype)], 0
     )
     return flat[gather_idx]
+
+
+def pack_image_features_batched(
+    cfg: LlavaNextConfig,
+    params: LlavaNextParams,
+    tile_pixels: jax.Array,
+    gather_idx: jax.Array,
+):
+    """Batched tiles + per-row gather plans -> packed features [B, N, D].
+
+    Args:
+      tile_pixels: [B, T_pad, 3, S, S] — each row's tiles padded to a
+        common T_pad (padded tiles are never referenced by gather_idx).
+      gather_idx: [B, N] from packing_indices(..., pad_tiles=T_pad).
+    """
+    from .llava import image_features as _clip_project
+
+    B, T = tile_pixels.shape[:2]
+    feats = _clip_project(cfg, params, tile_pixels.reshape((B * T,) + tile_pixels.shape[2:]))
+    D = feats.shape[-1]
+    feats = feats.reshape(B, T * feats.shape[1], D)  # [B, T*P, D]
+    newline = jnp.broadcast_to(
+        params.image_newline[None, None].astype(feats.dtype), (B, 1, D)
+    )
+    flat = jnp.concatenate([feats, newline], axis=1)  # [B, T*P + 1, D]
+    return jnp.take_along_axis(flat, gather_idx[..., None], axis=1)
+
+
+def merge_with_text_batched(
+    inputs_embeds: jax.Array,
+    packed_features: jax.Array,
+    valid: jax.Array,
+    image_pos: jax.Array,
+):
+    """Batched ``merge_with_text`` with per-row DYNAMIC image positions.
+
+    Args:
+      inputs_embeds: [B, S_text, D]; packed_features: [B, N_max, D];
+      valid: [B, N_max]; image_pos: [B] int32.
+    Returns:
+      (merged [B, S_out, D], key_mask [B, S_out], real_len [B]).
+    Layout per row: [pre | packed_valid | post | pad...]; all index math
+    is gather-based so one compiled program covers every (image position,
+    token count) combination in the batch.
+    """
+    B, S_text, D = inputs_embeds.shape
+    N_max = packed_features.shape[1]
+    n_img = jnp.sum(valid, axis=1)  # [B]
+    S_out = S_text - 1 + N_max
+    real_len = S_text - 1 + n_img  # [B]
+
+    j = jnp.arange(S_out)[None, :]  # [1, S_out]
+    ip = image_pos[:, None]
+    ni = n_img[:, None]
+    in_img = (j >= ip) & (j < ip + ni)
+    beyond = j >= real_len[:, None]
+
+    # text source index: j before the image span, j - n_img + 1 after
+    text_idx = jnp.clip(jnp.where(j < ip, j, j - ni + 1), 0, S_text - 1)
+    text_part = jnp.take_along_axis(inputs_embeds, text_idx[..., None], axis=1)
+    img_idx = jnp.clip(j - ip, 0, N_max - 1)
+    img_part = jnp.take_along_axis(
+        packed_features.astype(inputs_embeds.dtype), img_idx[..., None], axis=1
+    )
+    out = jnp.where(in_img[..., None], img_part, text_part)
+    out = jnp.where(beyond[..., None], 0.0, out)
+    return out, ~beyond, real_len
 
 
 def merge_with_text(
