@@ -98,3 +98,17 @@ def test_server_int8_kv(tiny_llava, rng):
     results = server.run(list(reqs), lambda rid: reqs[rid])
     for rid in reqs:
         np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
+
+
+def test_server_epis_kl(tiny_llava, rng):
+    """epis_kl serving (round-1 VERDICT weak #8): the per-slot [N, V]
+    image-logits buffer makes the KL keep-set available to the shared
+    step program; server results equal solo generates."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params, ens=EnsembleConfig(mask_policy="epis_kl"))
+    reqs = _requests(rng, 2)
+    solo = {rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()}
+    server = DecodeServer(engine=eng, n_slots=2)
+    results = server.run(list(reqs), lambda rid: reqs[rid])
+    for rid in reqs:
+        np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
