@@ -253,6 +253,78 @@ def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
+def run_int8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
+    """int8 (weights + KV cache) vs full-precision token agreement, with
+    the method's cross-seed variability as the noise floor — the quality
+    evidence for the int8 deployment config (utils/quantize.py +
+    engine int8_kv).  Unlike the fused study, each arm runs its own
+    prefill (quantized weights change the prefill logits too)."""
+    import jax.numpy as jnp
+
+    from ..utils.quantize import quantize_llama_params
+
+    cfg, params = _build(hidden, layers, vocab, model_seed)
+    qparams = params._replace(lm=quantize_llama_params(params.lm))
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+
+    prompts = []
+    for p in range(n_prompts):
+        ids = np.array(
+            [[1, int(r.integers(3, vocab - 3)), img,
+              int(r.integers(3, vocab - 3)), 5]], np.int32
+        )
+        px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        prompts.append((ids, px))
+
+    def mk(prm, int8_kv, seed, ensemble=True):
+        e = _engine(cfg, prm, fused=False, seed=seed, T=T, ensemble=ensemble)
+        e.int8_kv = int8_kv
+        e.__post_init__()
+        return e
+
+    rows = []
+    for s in range(n_seeds):
+        seed = 24 + 1000 * s
+        # compile each arm once per seed; reuse across prompts
+        arms = {
+            "fp": mk(params, False, seed),
+            "int8": mk(qparams, True, seed),
+            "fp_seed2": mk(params, False, seed + 7),
+            "g_fp": mk(params, False, seed, ensemble=False),
+            "g_int8": mk(qparams, True, seed, ensemble=False),
+        }
+
+        def gen(e, ids, px):
+            st = e.prefill(ids, px)
+            return np.asarray(e._decode(e.params, st)[0])[0]
+
+        for ids, px in prompts:
+            tok = {name: gen(e, ids, px) for name, e in arms.items()}
+            rows.append({
+                "fp_vs_int8": _agreement(tok["fp"], tok["int8"]),
+                "fp_vs_fp_seed": _agreement(tok["fp"], tok["fp_seed2"]),
+                "greedy_fp_vs_int8": _agreement(tok["g_fp"], tok["g_int8"]),
+            })
+
+    def summarize(key):
+        m = [r[key]["match_rate"] for r in rows]
+        pl = [r[key]["prefix_len"] for r in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    return {
+        "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T},
+        "exact_fp_vs_int8": summarize("fp_vs_int8"),
+        "exact_fp_vs_fp_seed_noise_floor": summarize("fp_vs_fp_seed"),
+        "greedy_fp_vs_int8": summarize("greedy_fp_vs_int8"),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--prompts", type=int, default=4)
@@ -261,6 +333,13 @@ def main(argv=None):
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--vocab", type=int, default=512)
+    ap.add_argument(
+        "--study",
+        default="fused",
+        choices=["fused", "int8"],
+        help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
+        "vs int8-weights+cache gap",
+    )
     ap.add_argument("--json", action="store_true")
     ap.add_argument(
         "--platform",
@@ -275,7 +354,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    out = run_study(
+    study = run_study if args.study == "fused" else run_int8_study
+    out = study(
         args.hidden, args.layers, args.vocab,
         args.prompts, args.seeds, args.tokens,
     )

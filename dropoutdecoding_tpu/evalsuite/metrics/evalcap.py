@@ -40,16 +40,41 @@ METRIC_NOTES = {
     ),
 }
 
-_PUNCT = re.compile(
-    r"[\"'`!?,;:\.\-\(\)\[\]\{\}]|''|``|--"
+# Contractions PTB splits into two tokens.  The apostrophe of a
+# contraction survives pycocoevalcap's punctuation removal (its removal
+# list holds standalone quote tokens, not "n't"/"'s"), so it is protected
+# with a sentinel while stray quotes are stripped.
+_APOS = "\x00"
+_CONTRACTION_RULES = (
+    (re.compile(r"\bcannot\b"), "can not"),
+    (re.compile(r"\bgonna\b"), "gon na"),
+    (re.compile(r"\bwanna\b"), "wan na"),
+    (re.compile(r"\bgotta\b"), "got ta"),
+    (re.compile(r"\blemme\b"), "lem me"),
+    (re.compile(r"n't\b"), f" n{_APOS}t"),  # don't->do n't, can't->ca n't
+    (re.compile(r"'(s|re|ve|ll|d|m)\b"), rf" {_APOS}\1"),
 )
+# '.' splits words unless BETWEEN digits (keeps decimals like 1.5)
+_DOT = re.compile(r"(?<=\d)\.(?=\d)")
+_SEP = re.compile(r"[\"“”‘’!?,;:…\.\(\)\[\]\{\}<>/\\|@#\$%\^&\*\+=~_]|``|''|`")
+_DASH = re.compile(r"--+|\s-+|-+\s|^-+|-+$")  # standalone dashes; in-word kept
 
 
 def ptb_tokenize(caption: str) -> str:
-    """PTB-style tokenization as done by pycocoevalcap's PTBTokenizer:
-    lowercase, strip punctuation, collapse whitespace."""
+    """PTB-style tokenization matching pycocoevalcap's PTBTokenizer
+    post-punctuation-removal output: lowercase; contractions split into
+    two tokens with their apostrophe kept (don't -> do n't, dog's ->
+    dog 's); in-word hyphens (well-known) and decimal points (1.5) kept;
+    all standalone punctuation removed; whitespace collapsed."""
     cap = caption.lower()
-    cap = _PUNCT.sub(" ", cap)
+    for pat, rep in _CONTRACTION_RULES:
+        cap = pat.sub(rep, cap)
+    cap = _DOT.sub(_APOS + "dot" + _APOS, cap)  # protect decimals
+    cap = _SEP.sub(" ", cap)
+    cap = cap.replace("'", " ")  # remaining quotes/possessive-plural marks
+    cap = _DASH.sub(" ", cap)
+    cap = cap.replace(_APOS + "dot" + _APOS, ".")
+    cap = cap.replace(_APOS, "'")
     return " ".join(cap.split())
 
 

@@ -198,3 +198,34 @@ def test_metric_notes_flow_to_outputs():
     assert lines[0] == "SPICE\tMETEOR\tCIDEr\tCHAIRs\tCHAIRi"
     assert lines[1] == "10.0\t20.0\t0.0\t30.0\t7.0"
     assert any(l.startswith("# SPICE:") for l in lines[2:])
+
+
+# ------------------------------------------------------------- tokenizer
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        ("The dog doesn't run.", "the dog does n't run"),
+        (
+            "I can't believe it's the dog's ball!",
+            "i ca n't believe it 's the dog 's ball",
+        ),
+        ("He cannot swim; she won't either.", "he can not swim she wo n't either"),
+        (
+            "A well-known artist -- truly great (I think).",
+            "a well-known artist truly great i think",
+        ),
+        ("It is 1.5 meters tall, costing $3.50.", "it is 1.5 meters tall costing 3.50"),
+        ('"Quoted text" and \'single\' quotes', "quoted text and single quotes"),
+        ("We're gonna win... maybe", "we 're gon na win maybe"),
+        ("ends with dots...", "ends with dots"),
+        ("multi  \n whitespace", "multi whitespace"),
+    ],
+)
+def test_ptb_tokenize(src, want):
+    """PTBTokenizer fidelity: contractions split with their apostrophe
+    kept (PTB 'do n't' / 'dog 's' survive pycocoevalcap's punctuation
+    removal), in-word hyphens and decimal points kept, standalone
+    punctuation removed."""
+    from dropoutdecoding_tpu.evalsuite.metrics.evalcap import ptb_tokenize
+
+    assert ptb_tokenize(src) == want
