@@ -342,11 +342,12 @@ def main(args):
     profile_dir = getattr(args, "profile_dir", None)
 
     batch = max(getattr(args, "batch_size", 1) or 1, 1)
-    if batch > 1 and model in ("llava-1.5", "llava-next") and engine.ensemble:
-        # batched data-parallel path (identical prompt => identical merged
-        # lengths; the engine's batch axis shards on the mesh's "data"
-        # axis).  LLaVA-NeXT rows carry per-image tile stacks + original
-        # sizes; the engine pads tile counts per batch (llavanext_engine).
+    if batch > 1 and engine.ensemble:
+        # batched data-parallel path, all three model families (identical
+        # prompt => identical merged lengths; the engine's batch axis
+        # shards on the mesh's "data" axis).  LLaVA-NeXT rows carry
+        # per-image tile stacks + original sizes (tile counts padded per
+        # batch, llavanext_engine); InstructBLIP adds Q-Former ids.
         import numpy as _np
 
         if model == "llava-next":
@@ -359,7 +360,7 @@ def main(args):
 
         for start in tqdm(range(0, len(img_files), batch)):
             group = img_files[start : start + batch]
-            ids_list, px_list, size_list = [], [], []
+            ids_list, px_list, size_list, qid_list = [], [], [], []
             for img_file in group:
                 image = Image.open(
                     os.path.join(args.coco_data_dir, "val2014", img_file)
@@ -373,15 +374,28 @@ def main(args):
                     inputs = processor(PROMPTS[model], image)
                     ids_list.append(inputs["input_ids"][0])
                     px_list.append(inputs["pixel_values"][0])
+                    if model == "instructblip":
+                        q = (
+                            processor.qformer_ids(PROMPTS[model])  # [1, Sq]
+                            if hasattr(processor, "qformer_ids")
+                            else ids_list[-1][None]
+                        )
+                        qid_list.append(_np.asarray(q)[0])
             n_pad = batch - len(group)  # keep shapes static on the last group
             for _ in range(n_pad):
                 ids_list.append(ids_list[-1])
                 px_list.append(px_list[-1])
                 if size_list:
                     size_list.append(size_list[-1])
+                if qid_list:
+                    qid_list.append(qid_list[-1])
             if model == "llava-next":
                 result = engine.generate(
                     _np.stack(ids_list), px_list, size_list
+                )
+            elif model == "instructblip":
+                result = engine.generate(
+                    _np.stack(ids_list), _np.stack(px_list), _np.stack(qid_list)
                 )
             else:
                 result = engine.generate(_np.stack(ids_list), _np.stack(px_list))

@@ -156,3 +156,38 @@ def test_ensemble_quantile_policy_runs(tiny_instructblip):
     eng.param_dtype = jnp.float32
     out = eng.generate(np.array([[1, 9, 21]]), pixels, np.array([[3, 7]]))
     assert out.tokens.shape == (1, 5)
+
+
+def test_batched_generate_equals_per_row(tiny_instructblip, rng):
+    """B=3 batched InstructBLIP ensemble generate == per-row generates
+    (rng_id pinned per row) — the CLI --batch-size path's engine contract."""
+    _, cfg, params, _ = tiny_instructblip
+    B = 3
+    pixels = rng.normal(size=(B, 3, 28, 28)).astype(np.float32)
+    input_ids = np.array([[1, 9, 21, 33], [1, 11, 23, 35], [1, 13, 25, 37]])
+    q_ids = np.array([[3, 7, 11]] * B)
+
+    def eng():
+        e = InstructBlipEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(mask_policy="epis_quantile", topk=10,
+                               mask_accumulate=False),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=48,
+            ensemble=True,
+            seed=5217,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    batched = eng().generate(input_ids, pixels, q_ids)
+    assert batched.tokens.shape == (B, 4)
+    solo = eng()
+    for b in range(B):
+        st = solo.prefill(input_ids[b : b + 1], pixels[b : b + 1], q_ids[b : b + 1])
+        st = st._replace(rng_id=jnp.asarray([b], jnp.int32))
+        row, _ = solo._decode(solo.params, st)
+        np.testing.assert_array_equal(
+            batched.tokens[b], np.asarray(row)[0], err_msg=f"row {b}"
+        )
