@@ -38,6 +38,7 @@ from ..models import llama as llama_mod
 from ..models import llava as llava_mod
 from ..models.llama import KVCache
 from ..ops.uncertainty import (
+    exact_top_k_ids,
     lowest_percent_kl_indices_mask,
     vision_uncertainty_auto,
 )
@@ -171,7 +172,7 @@ class LlavaEngine:
         hidden_img = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
         img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
         uncert = vision_uncertainty_auto(img_logits)
-        _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 

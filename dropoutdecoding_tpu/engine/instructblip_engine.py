@@ -18,7 +18,7 @@ import numpy as np
 
 from ..models import instructblip as ib_mod
 from ..models import llama as llama_mod
-from ..ops.uncertainty import vision_uncertainty_auto
+from ..ops.uncertainty import exact_top_k_ids, vision_uncertainty_auto
 from .generate import LlavaEngine, PrefillState, extract_probe_ids
 
 
@@ -44,7 +44,7 @@ class InstructBlipEngine(LlavaEngine):
 
         img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
         uncert = vision_uncertainty_auto(img_logits)
-        _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..models import llama as llama_mod
 from ..models import llavanext as next_mod
-from ..ops.uncertainty import vision_uncertainty_auto
+from ..ops.uncertainty import exact_top_k_ids, vision_uncertainty_auto
 from .generate import GenerationResult, LlavaEngine, PrefillState, extract_probe_ids
 
 
@@ -80,7 +80,7 @@ class LlavaNextEngine(LlavaEngine):
         img_hidden = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
         img_logits = llama_mod.lm_head(params.lm, img_hidden)
         uncert = vision_uncertainty_auto(img_logits)
-        _, topk_ids = jax.lax.top_k(img_logits, self.ens.topk)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         last_hidden = jax.vmap(
             lambda h, l: jax.lax.dynamic_index_in_dim(h, l - 1, 0, keepdims=False)
         )(hidden, real_len)

@@ -83,3 +83,25 @@ def test_lowest_kl_mask_count(rng):
     cur = jnp.asarray(rng.normal(size=(17,)).astype(np.float32))
     mask = lowest_percent_kl_indices_mask(image_logits, cur, percent=0.1)
     assert int(mask.sum()) == 4
+
+
+def test_exact_top_k_ids_matches_lax_top_k(rng):
+    """exact_top_k_ids must reproduce lax.top_k's indices exactly,
+    including tie order (lower index first), on random and tied inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from dropoutdecoding_tpu.ops.uncertainty import exact_top_k_ids
+
+    x = jnp.asarray(rng.normal(size=(7, 500)).astype(np.float32))
+    for k in (1, 5, 10):
+        ref = jax.lax.top_k(x, k)[1]
+        got = exact_top_k_ids(x, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # ties: repeated values must come out in index order
+    t = jnp.asarray(
+        np.array([[1.0, 3.0, 3.0, 2.0, 3.0, 0.5]], np.float32)
+    )
+    ref = jax.lax.top_k(t, 4)[1]
+    got = exact_top_k_ids(t, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
