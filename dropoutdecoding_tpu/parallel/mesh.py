@@ -102,11 +102,33 @@ def projector_param_specs():
 
 
 def _apply_specs(tree, specs, mesh):
+    def put(a, s):
+        if isinstance(a, dict) and set(a) == {"q", "s"}:
+            # int8-quantized weight (utils/quantize layout): the int8
+            # matrix shards like the dense weight; the per-output-channel
+            # scale [..., 1, E] shards with the OUTPUT axis — sharded for
+            # column-parallel (spec ends in "model"), replicated for
+            # row-parallel (the output axis is unsharded there).
+            s_spec = (
+                P(*([None] * (a["s"].ndim - 1) + ["model"]))
+                if s and s[-1] == "model"
+                else P()
+            )
+            return {
+                "q": jax.device_put(a["q"], NamedSharding(mesh, s)),
+                "s": jax.device_put(a["s"], NamedSharding(mesh, s_spec)),
+            }
+        return jax.device_put(a, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        put,
         tree,
         specs,
-        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"),
+        is_leaf=lambda x: (
+            isinstance(x, jax.Array)
+            or (isinstance(x, dict) and set(x) == {"q", "s"})
+            or hasattr(x, "shape")
+        ),
     )
 
 

@@ -243,3 +243,39 @@ def test_dp_batched_generate_equals_per_row(tiny):
         st = st._replace(rng_id=jnp.asarray([b], jnp.int32))
         row, _ = solo._decode(solo.params, st)
         np.testing.assert_array_equal(batched[b], np.asarray(row)[0])
+
+
+def test_tp_sharded_int8_generate_matches_single_device(tiny):
+    """TP sharding of the int8 deployment config: quantized {q,s} weight
+    leaves shard with the dense specs (scales follow the output axis),
+    int8 KV cache shards on its KH axis — sharded generate == unsharded
+    int8 generate (fp32-scale model, 2x4 mesh)."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params
+
+    cfg, params = tiny
+    qparams = params._replace(lm=quantize_llama_params(params.lm))
+    B = 2
+    input_ids, pixels = _inputs(cfg, B)
+
+    base = _engine(cfg, qparams)
+    base.int8_kv = True
+    base.__post_init__()
+    ref = base.generate(input_ids, pixels)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp = shard_llava_params(qparams, mesh)
+    # quantized leaves actually sharded on the model axis
+    qp = sp.lm["layers"]["q_proj"]
+    assert isinstance(qp, dict)
+    assert qp["q"].sharding.spec == P(None, None, "model")
+    assert qp["s"].sharding.spec == P(None, None, "model")
+    assert sp.lm["layers"]["down_proj"]["s"].sharding.spec == P()
+
+    eng = _engine(cfg, sp)
+    eng.int8_kv = True
+    eng.__post_init__()
+    with mesh:
+        state = _sharded_state(eng, mesh, input_ids, pixels)
+        tokens, _ = eng._decode(eng.params, state)
+        tokens = np.asarray(tokens)
+    np.testing.assert_array_equal(tokens, ref.tokens)
