@@ -28,6 +28,10 @@ Method notes for this environment:
   the prompt's last logits, reference pope_test.py:239-242);
 - `block_until_ready` does not reliably block over the tunnel, so timings
   force a host fetch;
+- rates are steady-state: one whole-decode dispatch (64 tokens in a single
+  while_loop program) minus the measured fixed dispatch+fetch round-trip
+  (~20 ms over the tunnel; linearity of wall time vs token count verified
+  separately — intercept == the trivial-program round-trip);
 - roofline: decode at B<=K+1 is HBM-bound; speed-of-light tokens/s =
   HBM_BW / bytes_streamed_per_token (weights + cache per compiled step
   program).  v5e assumed: 819 GB/s HBM, 197 TFLOP/s bf16 (override with
@@ -43,7 +47,7 @@ import time
 
 import numpy as np
 
-DECODE_TOKENS = 16
+DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
 PROMPT_LEN = 576 + 32  # visual span + text
 K = 3
 K8_PROBS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
@@ -147,7 +151,31 @@ def build_state(engine, cfg, key, B=1):
     )
 
 
-def time_decode(engine, state, params, repeats=2):
+def measure_dispatch_overhead():
+    """Fixed per-dispatch cost (program launch + host fetch).  Over the
+    axon tunnel this is ~20 ms — material against a decode window, so the
+    steady-state rates subtract it.  Measured with a trivial program whose
+    device time is ~0."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda a: a + 1)
+    z = jnp.zeros((8,), jnp.float32)
+    _fetch(tiny(z))  # compile
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _fetch(tiny(z))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_decode(engine, state, params, overhead=0.0, repeats=2):
+    """Steady-state decode tokens/s: wall time for one whole-decode
+    program (DECODE_TOKENS steps in a single while_loop dispatch) minus
+    the fixed dispatch overhead.  Linearity checked empirically: decode
+    wall time vs token count fits a + b*T with a == the trivial-program
+    round-trip measured above (see DESIGN.md round-2 notes)."""
     tokens, _ = engine._decode(params, state)
     _fetch(tokens[:, -1])  # cold run
     best = float("inf")
@@ -156,7 +184,8 @@ def time_decode(engine, state, params, repeats=2):
         tokens, _ = engine._decode(params, state)
         _fetch(tokens[:, -1])
         best = min(best, time.perf_counter() - t0)
-    return DECODE_TOKENS / best
+    ov = min(overhead, best / 2)  # never correct away >half the window
+    return DECODE_TOKENS / (best - ov)
 
 
 def reference_style_step(engine, params):
@@ -293,11 +322,14 @@ def run_once(n_layers):
     state = build_state(ens_engine, cfg, jax.random.key(1))
     _fetch(state.first_token)
 
+    ov = measure_dispatch_overhead()
+    print(f"dispatch overhead: {ov * 1000:.1f} ms", file=sys.stderr, flush=True)
+
     greedy_engine = mk(False)
-    greedy_tps = time_decode(greedy_engine, state, params)
+    greedy_tps = time_decode(greedy_engine, state, params, ov)
     print(f"int8 greedy: {greedy_tps:.2f} t/s", file=sys.stderr, flush=True)
 
-    ens_tps = time_decode(ens_engine, state, params)
+    ens_tps = time_decode(ens_engine, state, params, ov)
     print(
         f"int8 ensemble K=3 (exact): {ens_tps:.2f} t/s "
         f"(={greedy_tps / ens_tps:.2f}x greedy latency)",
@@ -322,7 +354,10 @@ def run_once(n_layers):
     for i in range(n_steps):
         ck, cv, tok = step(params, ck, cv, cur + 1 + i, tok)
         _fetch(tok)
-    ref_tps = n_steps / (time.perf_counter() - t0)
+    # the reference-style loop pays one dispatch per step; subtract the
+    # tunnel's fixed cost from each so the ratio reflects device time
+    ref_elapsed = time.perf_counter() - t0
+    ref_tps = n_steps / max(ref_elapsed - n_steps * ov, ref_elapsed / 2)
     del ck, cv
     print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
 
@@ -335,6 +370,8 @@ def run_once(n_layers):
                 "value": round(ens_tps, 3),
                 "unit": "tokens/s",
                 "vs_baseline": round(ens_tps / ref_tps, 3),
+                "decode_tokens": DECODE_TOKENS,
+                "dispatch_overhead_ms": round(ov * 1000, 1),
             }
         ),
         flush=True,
@@ -346,7 +383,7 @@ def run_once(n_layers):
     fused_engine = mk(True)
     fused_engine.ens = _EC(fused_step=True)
     fused_engine.__post_init__()
-    fused_tps = time_decode(fused_engine, state, params)
+    fused_tps = time_decode(fused_engine, state, params, ov)
     print(
         f"int8 ensemble K=3 (fused): {fused_tps:.2f} t/s "
         f"(={fused_tps / greedy_tps:.2f}x greedy throughput)",
@@ -391,7 +428,7 @@ def run_once(n_layers):
         k8.__post_init__()
         state16 = build_state(k8, cfg, jax.random.key(2), B=16)
         _fetch(state16.first_token)
-        per_stream = time_decode(k8, state16, params)
+        per_stream = time_decode(k8, state16, params, ov)
         print(
             f"batch16 x K=8 fused: {per_stream * 16:.2f} total tokens/s "
             f"({per_stream:.2f} t/s per caption stream; "
