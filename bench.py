@@ -142,7 +142,9 @@ def build_state(engine, cfg, key, B=1):
         first_token=jnp.full((B,), 7, jnp.int32),
         epis=jax.random.gamma(ks[3], 2.0, (B, N)).astype(jnp.float32),
         topk_ids=jax.random.randint(ks[4], (B, N, 5), 0, V),
-        image_logits=jnp.zeros((B, N, V), jnp.float32),
+        # [B, N, 1] stub mirrors engine.kl_logits_or_stub for non-epis_kl
+        # policies (the full [B, N, V] fp32 buffer is 1.2 GB at B=16)
+        image_logits=jnp.zeros((B, N, 1), jnp.float32),
         image_pos=jnp.full((B,), 5, jnp.int32),
         visual_mask=jnp.ones((B, N), bool),
         probe_ids=jnp.full((B, 8), -1, jnp.int32),
@@ -184,8 +186,9 @@ def time_decode(engine, state, params, overhead=0.0, repeats=2):
         tokens, _ = engine._decode(params, state)
         _fetch(tokens[:, -1])
         best = min(best, time.perf_counter() - t0)
+    n_tokens = engine.gen.max_new_tokens
     ov = min(overhead, best / 2)  # never correct away >half the window
-    return DECODE_TOKENS / (best - ov)
+    return n_tokens / (best - ov)
 
 
 def reference_style_step(engine, params):
@@ -302,15 +305,15 @@ def run_once(n_layers):
     params = LlavaParams(vision=proto.vision, projector=proto.projector, lm=lm)
     _fetch(params.lm["norm"])
 
-    def mk(ensemble, **kw):
+    def mk(ensemble, tokens=DECODE_TOKENS, **kw):
         e = LlavaEngine(
             cfg=cfg,
             params=params,
             ens=EnsembleConfig(),
             gen=GenerationConfig(
-                max_new_tokens=DECODE_TOKENS, eos_token_id=-1, pad_token_id=0
+                max_new_tokens=tokens, eos_token_id=-1, pad_token_id=0
             ),
-            max_len=PROMPT_LEN + DECODE_TOKENS,
+            max_len=PROMPT_LEN + tokens,
             ensemble=ensemble,
             seed=24,
             int8_kv=True,
@@ -413,6 +416,7 @@ def run_once(n_layers):
             st = ens_engine.prefill(ids, px)
             _fetch(st.first_token)
             best = min(best, time.perf_counter() - t0)
+        best = max(best - ov, best / 2)  # one dispatch: same correction
         print(
             f"prefill (608 tok + ViT-L/336): {best * 1000:.1f} ms  "
             f"=> POPE fast path {1.0 / best:.1f} questions/s/chip",
@@ -421,9 +425,11 @@ def run_once(n_layers):
     except Exception as e:
         print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote
+    # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote.
+    # Its own 16-token window: the B=16 cache at a 64-token window tips the
+    # 16 GB chip over (weights 6.8 GB + 16 caches + the [16, N, V] state).
     try:
-        k8 = mk(True)
+        k8 = mk(True, tokens=16)
         k8.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
         k8.__post_init__()
         state16 = build_state(k8, cfg, jax.random.key(2), B=16)

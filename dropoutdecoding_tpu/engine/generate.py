@@ -88,6 +88,18 @@ class GenerationResult(NamedTuple):
     num_tokens: np.ndarray  # [B]
 
 
+def kl_logits_or_stub(img_logits: jax.Array, mask_policy: str) -> jax.Array:
+    """``epis_kl`` is the only policy that reads the full [B, N, V]
+    visual-token logits after prefill (engine _member_drop_slots); for
+    every other policy return a [B, N, 1] stub so the prefill program does
+    not keep a ~74 MB/image fp32 output buffer resident in the decode
+    state (1.2 GB at the batch-16 stretch config).  The serving layer
+    already gates its slot buffer the same way (serving.py _track_kl)."""
+    if mask_policy == "epis_kl":
+        return img_logits
+    return jnp.zeros(img_logits.shape[:-1] + (1,), jnp.float32)
+
+
 def _record_text_stats(tm: TextMaskState, steps, winner_logits) -> TextMaskState:
     """Record 1/max-logit + entropy/varentropy of the emitting step
     (reference llava.py:366-369 / instructblip.py:141-144).
@@ -188,7 +200,7 @@ class LlavaEngine:
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,
-            image_logits=img_logits,
+            image_logits=kl_logits_or_stub(img_logits, self.ens.mask_policy),
             image_pos=image_pos,
             visual_mask=jnp.ones((B, N), bool),
             probe_ids=extract_probe_ids(input_ids),

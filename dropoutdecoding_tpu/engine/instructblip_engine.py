@@ -19,7 +19,12 @@ import numpy as np
 from ..models import instructblip as ib_mod
 from ..models import llama as llama_mod
 from ..ops.uncertainty import exact_top_k_ids, vision_uncertainty_auto
-from .generate import LlavaEngine, PrefillState, extract_probe_ids
+from .generate import (
+    LlavaEngine,
+    PrefillState,
+    extract_probe_ids,
+    kl_logits_or_stub,
+)
 
 
 @dataclass
@@ -59,7 +64,7 @@ class InstructBlipEngine(LlavaEngine):
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,
-            image_logits=img_logits,
+            image_logits=kl_logits_or_stub(img_logits, self.ens.mask_policy),
             image_pos=jnp.zeros((B,), jnp.int32),
             visual_mask=jnp.ones((B, N), bool),
             probe_ids=extract_probe_ids(input_ids),

@@ -28,7 +28,13 @@ import numpy as np
 from ..models import llama as llama_mod
 from ..models import llavanext as next_mod
 from ..ops.uncertainty import exact_top_k_ids, vision_uncertainty_auto
-from .generate import GenerationResult, LlavaEngine, PrefillState, extract_probe_ids
+from .generate import (
+    GenerationResult,
+    LlavaEngine,
+    PrefillState,
+    extract_probe_ids,
+    kl_logits_or_stub,
+)
 
 
 @dataclass
@@ -98,7 +104,7 @@ class LlavaNextEngine(LlavaEngine):
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
             topk_ids=topk_ids,
-            image_logits=img_logits,
+            image_logits=kl_logits_or_stub(img_logits, self.ens.mask_policy),
             image_pos=image_pos.astype(jnp.int32),
             visual_mask=valid,
             probe_ids=extract_probe_ids(input_ids),
