@@ -373,6 +373,30 @@ def decode_step(
     if quantized:
         from ..ops.attention import ensemble_decode_attention_int8kv
 
+        if H // KH > 1 and Dh % 128 == 0:
+            # GQA (Mistral / LLaVA-NeXT): the XLA path's repeat_kv
+            # materializes an n_rep-times bf16 copy of the int8 cache per
+            # step; the fused Pallas kernel streams the int8 cache once and
+            # keeps scores in VMEM — measured 11x faster at the
+            # LLaVA-NeXT serving shape (B=8, S=3328, KH=8).  At KH == H
+            # XLA's lane-packed batched GEMV wins, so only GQA dispatches
+            # to the kernel (ops/pallas_decode_attention.py header).  The
+            # kernel's head-panel reshape needs lane-width head_dim
+            # (128 for every production model; tiny test configs fall back).
+            from ..ops.pallas_decode_attention import (
+                ensemble_decode_attention_int8kv_fused,
+            )
+
+            def _int8_attend(*a):
+                return jax.lax.platform_dependent(
+                    *a,
+                    tpu=ensemble_decode_attention_int8kv_fused,
+                    default=ensemble_decode_attention_int8kv,
+                )
+
+        else:
+            _int8_attend = ensemble_decode_attention_int8kv
+
     def layer(xc, scanned):
         lp, kc, vc = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
@@ -382,7 +406,7 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if quantized:
-            attn = ensemble_decode_attention_int8kv(
+            attn = _int8_attend(
                 q, kc["q"], kc["s"], vc["q"], vc["s"], k, v, key_mask
             )
         else:

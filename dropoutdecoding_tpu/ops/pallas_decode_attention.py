@@ -1,0 +1,175 @@
+"""Fused Pallas ensemble-decode attention over the int8 KV cache — the
+GQA decode path (Mistral-7B / LLaVA-NeXT).
+
+The XLA int8 path (``ops.attention.ensemble_decode_attention_int8kv``)
+expands grouped KV heads with ``repeat_kv`` before the dots; under GQA
+(H/KH = 4 for Mistral) that materializes a 4x bf16 copy of the int8 cache
+in HBM every layer of every decode step.  This kernel computes the whole
+member-batched attention — score-vs-shared-cache, per-key k-scale fold,
+member mask, the always-attended self token, softmax, v-scale fold, PV —
+in one pass: the int8 cache is streamed from HBM exactly once per
+(batch row, layer), heads read the group's panel in place, and scores
+live only in VMEM.
+
+Measured on 1x v5e (scan-chained, dispatch overhead subtracted), vs the
+XLA int8 op:
+
+  B=8,  M=9, H=32, KH=8, S=3328 (LLaVA-NeXT serving):  117 us vs 1325 us
+                                                       -> 11.3x faster
+  B=16, M=9, H=32, KH=32, S=640 (LLaVA-1.5 stretch):   271 us vs 208 us
+                                                       -> 0.77x (slower)
+
+At KH == H there is nothing to expand and XLA's lane-packed batched GEMV
+(convolution emitter) beats per-head MXU dots at M~9 rows, so
+models/llama.decode_step dispatches here only when H // KH > 1.
+Semantics identical to the XLA op (tested in interpret mode in
+tests/test_pallas_kernels.py and compiled on TPU against the same op).
+
+Grid: (B, KH).  The k/v/q/mask blocks are indexed by b only, so Mosaic
+fetches them once per batch row and reuses them across the KH inner grid
+steps; per cell the kernel slices head g's [S, D] int8 panel out of the
+resident [S, KH*D] block (minor-dim slices at 128-element alignment).
+
+The reference has no analogue: it re-runs dense HF attention K+1 times
+per token on deepcopied caches (reference llava.py:292-376).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _kernel(
+    q_ref,  # [1, M, H*D]   activation dtype (bf16)
+    k_ref,  # [1, Sp, KH*D] int8
+    ks_ref,  # [1, KH, Sp]  f32 per-(token, head) key scales (transposed so
+    #   the per-head slice is a row — width-1 minor-dim loads don't lower)
+    v_ref,  # [1, Sp, KH*D] int8
+    vs_ref,  # [1, KH, Sp]  f32 value scales
+    kn_ref,  # [1, M, KH*D] new-token keys (unquantized)
+    vn_ref,  # [1, M, KH*D] new-token values
+    mask_ref,  # [1, M, Sp]  int32, 1 = attend
+    o_ref,  # [1, 1, M, G*D]
+    *,
+    G: int,
+    D: int,
+    scale: float,
+):
+    g = pl.program_id(1)
+    M = q_ref.shape[1]
+
+    qg = q_ref[0, :, pl.ds(g * G * D, G * D)]  # [M, G*D]
+    qg = qg.reshape(M * G, D)
+    kg = k_ref[0, :, pl.ds(g * D, D)].astype(jnp.bfloat16)  # [Sp, D]
+    ksg = ks_ref[0, pl.ds(g, 1), :]  # [1, Sp]
+
+    scores = (
+        jax.lax.dot_general(
+            qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [MG, Sp]
+    # fold key scales (per key position), THEN mask — padded rows carry
+    # arbitrary scales but their mask is 0
+    scores = scores * ksg
+    mk = mask_ref[0]  # [M, Sp]
+    if G > 1:
+        mk = jnp.repeat(mk, G, axis=0)
+    scores = jnp.where(mk > 0, scores, _NEG)
+
+    kn = kn_ref[0, :, pl.ds(g * D, D)]  # [M, D]
+    vn = vn_ref[0, :, pl.ds(g * D, D)].astype(jnp.float32)
+    if G > 1:
+        kn = jnp.repeat(kn, G, axis=0)
+        vn = jnp.repeat(vn, G, axis=0)
+    self_sc = (
+        jnp.sum(qg.astype(jnp.float32) * kn.astype(jnp.float32), -1, keepdims=True)
+        * scale
+    )  # [MG, 1] — the member's own token, always attended
+
+    mx = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), self_sc)
+    p = jnp.exp(scores - mx)
+    p_self = jnp.exp(self_sc - mx)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_self
+
+    vg = v_ref[0, :, pl.ds(g * D, D)].astype(jnp.bfloat16)  # [Sp, D]
+    vsg = vs_ref[0, pl.ds(g, 1), :]  # [1, Sp]
+    pv = (p * vsg).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [MG, D]
+    out = (out + p_self * vn) / denom
+    o_ref[0, 0] = out.reshape(M, G * D).astype(o_ref.dtype)
+
+
+@jax.jit
+def ensemble_decode_attention_int8kv_fused(
+    q: jax.Array,
+    kq: jax.Array,
+    ks: jax.Array,
+    vq: jax.Array,
+    vs: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    key_mask: jax.Array,
+) -> jax.Array:
+    """Drop-in for ``ops.attention.ensemble_decode_attention_int8kv``.
+
+    Args:
+      q: [B, M, H, D]; kq/vq: [B, S, KH, D] int8; ks/vs: [B, S, KH, 1] f32;
+      k_new/v_new: [B, M, KH, D]; key_mask: [B, M, S].
+    Returns:
+      [B, M, H, D]
+    """
+    B, M, H, D = q.shape
+    S, KH = kq.shape[1], kq.shape[2]
+    G = H // KH
+
+    Sp = ((S + 31) // 32) * 32  # int8 sublane tile
+    pad = Sp - S
+    mask = key_mask.astype(jnp.int32)
+    if pad:
+        kq = jnp.pad(kq, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vq = jnp.pad(vq, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)))
+
+    q2 = q.reshape(B, M, H * D).astype(jnp.bfloat16)
+    k2 = kq.reshape(B, Sp, KH * D)
+    v2 = vq.reshape(B, Sp, KH * D)
+    ks2 = ks[..., 0].transpose(0, 2, 1)  # [B, KH, Sp]
+    vs2 = vs[..., 0].transpose(0, 2, 1)
+    kn2 = k_new.reshape(B, M, KH * D).astype(jnp.bfloat16)
+    vn2 = v_new.reshape(B, M, KH * D).astype(jnp.bfloat16)
+
+    bcast = lambda shape: (lambda b, g: (b,) + (0,) * (len(shape) - 1))
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, D=D, scale=1.0 / (D**0.5)),
+        grid=(B, KH),
+        in_specs=[
+            pl.BlockSpec((1, M, H * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, M, G * D), lambda b, g: (b, g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KH, M, G * D), q.dtype),
+    )(q2, k2, ks2, v2, vs2, kn2, vn2, mask)
+
+    # [B, KH, M, G, D] -> [B, M, KH*G=H, D]; head h uses kv group h // G,
+    # matching ops.attention.repeat_kv's interleaving
+    out = out.reshape(B, KH, M, G, D).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, M, H, D).astype(q.dtype)

@@ -77,3 +77,33 @@ def test_flash_attention_no_mask(rng):
     ref = prefill_attention(q, k, v, causal=True)
     got = flash_prefill_attention(q, k, v, None, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("KH", [2, 8])  # G = 8//KH or 32//KH > 1 and == 1
+def test_fused_int8_decode_attention_matches_xla(rng, KH):
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention_int8kv
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_int8kv_fused,
+    )
+
+    B, M, H, D, S = 2, 3, 8, 128, 70  # S deliberately not a 32-multiple
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, M, S)) < 0.7)
+    mask = mask.at[:, :, 0].set(True)
+
+    ref = np.asarray(
+        ensemble_decode_attention_int8kv(q, kq, ks, vq, vs, kn, vn, mask),
+        np.float32,
+    )
+    got = np.asarray(
+        ensemble_decode_attention_int8kv_fused(q, kq, ks, vq, vs, kn, vn, mask),
+        np.float32,
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(ref - got)) / scale < 2e-2  # bf16 accumulation-order
