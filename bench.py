@@ -104,7 +104,7 @@ def synthetic_int8_lm(cfg, key):
     }
 
 
-def build_state(engine, cfg, key, B=1):
+def build_state(engine, cfg, key, B=1, prompt_len=None):
     """Synthetic post-prefill state with realistic shapes/dtypes."""
     import jax
     import jax.numpy as jnp
@@ -112,6 +112,8 @@ def build_state(engine, cfg, key, B=1):
     from dropoutdecoding_tpu.engine.generate import PrefillState
     from dropoutdecoding_tpu.models import llama as llama_mod
 
+    if prompt_len is None:
+        prompt_len = PROMPT_LEN
     N = cfg.vision.num_patches
     V = cfg.text.vocab_size
     Smax = engine.max_len
@@ -137,7 +139,7 @@ def build_state(engine, cfg, key, B=1):
         )
     return PrefillState(
         cache=cache,
-        cur_len=jnp.full((B,), PROMPT_LEN, jnp.int32),
+        cur_len=jnp.full((B,), prompt_len, jnp.int32),
         last_logits=jax.random.normal(ks[2], (B, V), jnp.float32),
         first_token=jnp.full((B,), 7, jnp.int32),
         epis=jax.random.gamma(ks[3], 2.0, (B, N)).astype(jnp.float32),
@@ -443,6 +445,76 @@ def run_once(n_layers):
         )
     except Exception as e:
         print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # GQA long-context decode (LLaVA-NeXT semantics: Mistral-7B tower with
+    # KH=8, ~2.9k visual tokens, continuous-batching batch of 8) — the
+    # path served by the fused Pallas int8 ensemble attention
+    # (ops/pallas_decode_attention.py; XLA's repeat_kv would expand the
+    # int8 cache 4x in bf16 every layer here).
+    try:
+        import gc
+
+        del state
+        try:
+            del state16, k8
+        except NameError:
+            pass
+        del greedy_engine, ens_engine, fused_engine, params, lm, proto, step
+        gc.collect()
+
+        from dropoutdecoding_tpu.utils.config import LlamaConfig as _LC
+
+        ncfg = LlavaConfig(
+            text=_LC(
+                num_key_value_heads=8,
+                intermediate_size=14336,
+                num_hidden_layers=n_layers,
+            ),
+            vision=ClipVisionConfig(image_size=756),  # 54x54 = 2916 patches
+        )
+        nlm = synthetic_int8_lm(ncfg.text, jax.random.key(3))
+        nproto = llava_mod.init_params(
+            LlavaConfig(
+                text=ncfg.text.__class__(num_hidden_layers=1), vision=ncfg.vision
+            ),
+            jax.random.key(4),
+            jnp.bfloat16,
+        )
+        nparams = LlavaParams(
+            vision=nproto.vision, projector=nproto.projector, lm=nlm
+        )
+        _fetch(nparams.lm["norm"])
+        T_next = 16
+        B_next = 8
+        prompt_next = ncfg.vision.num_patches + 28
+        eng = LlavaEngine(
+            cfg=ncfg,
+            params=nparams,
+            ens=_EC(voting_probs=K8_PROBS, fused_step=True),
+            gen=GenerationConfig(
+                max_new_tokens=T_next, eos_token_id=-1, pad_token_id=0
+            ),
+            max_len=prompt_next + T_next,
+            ensemble=True,
+            seed=506,
+            int8_kv=True,
+        )
+        nstate = build_state(
+            eng, ncfg, jax.random.key(5), B=B_next, prompt_len=prompt_next
+        )
+        _fetch(nstate.first_token)
+        per_stream = time_decode(eng, nstate, nparams, ov)
+        print(
+            f"llavanext-shape batch{B_next} x K=8 fused (Mistral GQA, "
+            f"S={prompt_next}): {per_stream * B_next:.2f} total tokens/s "
+            f"({per_stream:.2f} t/s per caption stream)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(
+            f"llavanext-shape config skipped: {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
     return greedy_tps, ens_tps, fused_tps, ref_tps
 
 
