@@ -397,6 +397,29 @@ def decode_step(
         else:
             _int8_attend = ensemble_decode_attention_int8kv
 
+    if (
+        not quantized
+        and H // KH > 1
+        and Dh % 128 == 0
+        and cache.k.dtype == jnp.bfloat16  # fp32 parity runs keep XLA
+    ):
+        # same repeat_kv expansion waste on the dense-cache path (measured
+        # 2679 us vs a 133 us read floor at the LLaVA-NeXT serving shape,
+        # 288 vs 17 us even at B=1 M=4 — the default LLaVA-NeXT decode)
+        from ..ops.pallas_decode_attention import (
+            ensemble_decode_attention_fused,
+        )
+
+        def _dense_attend(*a):
+            return jax.lax.platform_dependent(
+                *a,
+                tpu=ensemble_decode_attention_fused,
+                default=ensemble_decode_attention,
+            )
+
+    else:
+        _dense_attend = ensemble_decode_attention
+
     def layer(xc, scanned):
         lp, kc, vc = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
@@ -410,7 +433,7 @@ def decode_step(
                 q, kc["q"], kc["s"], vc["q"], vc["s"], k, v, key_mask
             )
         else:
-            attn = ensemble_decode_attention(q, kc, vc, k, v, key_mask)
+            attn = _dense_attend(q, kc, vc, k, v, key_mask)
         attn = attn.reshape(B, M, H * Dh)
         xc = xc + _mm(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)

@@ -107,3 +107,27 @@ def test_fused_int8_decode_attention_matches_xla(rng, KH):
     )
     scale = np.max(np.abs(ref)) + 1e-9
     assert np.max(np.abs(ref - got)) / scale < 2e-2  # bf16 accumulation-order
+
+
+@pytest.mark.parametrize("KH", [2, 8])
+def test_fused_bf16_decode_attention_matches_xla(rng, KH):
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_fused,
+    )
+
+    B, M, H, D, S = 2, 3, 8, 128, 70
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(B, S, KH, D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(B, S, KH, D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, M, S)) < 0.7)
+    mask = mask.at[:, :, 0].set(True)
+
+    ref = np.asarray(ensemble_decode_attention(q, kc, vc, kn, vn, mask), np.float32)
+    got = np.asarray(
+        ensemble_decode_attention_fused(q, kc, vc, kn, vn, mask), np.float32
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(ref - got)) / scale < 2e-2
