@@ -106,10 +106,12 @@ def make_engine(args):
         ensemble=not (str2bool(args.original) or str2bool(args.vcd)),
         seed=args.seed if args.seed is not None else REFERENCE_SEEDS[model],
         text_logits_mask=str2bool(getattr(args, "text_logit_mask", False)),
+        w8a8_prefill=getattr(args, "quantize", None) == "w8a8",
+        int8_kv=str2bool(getattr(args, "int8_kv", False)),
     )
 
     def maybe_quantize(params):
-        if getattr(args, "quantize", None) == "int8":
+        if getattr(args, "quantize", None) in ("int8", "w8a8"):
             from ..utils.quantize import quantize_llama_params
 
             return params._replace(lm=quantize_llama_params(params.lm))
@@ -542,9 +544,20 @@ def build_parser():
         "--quantize",
         type=str,
         default=None,
-        choices=[None, "int8"],
-        help="weight-only quantization of the LM tower (~2x decode "
-        "throughput; per-channel symmetric int8)",
+        choices=[None, "int8", "w8a8"],
+        help="LM tower quantization: 'int8' = weight-only per-channel "
+        "symmetric (~2x decode throughput); 'w8a8' = int8 weights + "
+        "on-the-fly int8 activations for PREFILL projections on the "
+        "native int8 MXU (~1.6x prefill rate; decode unchanged)",
+    )
+    p.add_argument(
+        "--int8-kv",
+        type=str2bool,
+        default=False,
+        help="int8-quantized KV cache (halves the decode cache stream; "
+        "with --quantize this is the full-depth-7B-on-16GB deployment "
+        "config benchmarked in bench.py; measured token drift below the "
+        "method's own RNG-seed variability — STATUS.md)",
     )
     p.add_argument(
         "--throne",

@@ -325,6 +325,78 @@ def run_int8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
+def run_w8a8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
+    """w8a8 prefill (int8 activations on the int8 MXU) vs bf16-activation
+    prefill over IDENTICAL int8 weights — isolates the activation-
+    quantization drift of models/llama._mm_w8a8, with the method's
+    cross-seed variability as the noise floor.  Decode is identical in
+    both arms (w8a8 is prefill-only), so any disagreement enters through
+    the prefill logits / uncertainty / projection tables / first token."""
+    import jax.numpy as jnp
+
+    from ..utils.quantize import quantize_llama_params
+
+    cfg, params = _build(hidden, layers, vocab, model_seed)
+    qparams = params._replace(lm=quantize_llama_params(params.lm))
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+
+    prompts = []
+    for p in range(n_prompts):
+        ids = np.array(
+            [[1, int(r.integers(3, vocab - 3)), img,
+              int(r.integers(3, vocab - 3)), 5]], np.int32
+        )
+        px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        prompts.append((ids, px))
+
+    def mk(w8a8, seed, ensemble=True):
+        e = _engine(cfg, qparams, fused=False, seed=seed, T=T, ensemble=ensemble)
+        e.w8a8_prefill = w8a8
+        e.__post_init__()
+        return e
+
+    rows = []
+    for s in range(n_seeds):
+        seed = 24 + 1000 * s
+        arms = {
+            "a16": mk(False, seed),
+            "a8": mk(True, seed),
+            "a16_seed2": mk(False, seed + 7),
+            "g_a16": mk(False, seed, ensemble=False),
+            "g_a8": mk(True, seed, ensemble=False),
+        }
+
+        def gen(e, ids, px):
+            st = e.prefill(ids, px)
+            return np.asarray(e._decode(e.params, st)[0])[0]
+
+        for ids, px in prompts:
+            tok = {name: gen(e, ids, px) for name, e in arms.items()}
+            rows.append({
+                "a16_vs_a8": _agreement(tok["a16"], tok["a8"]),
+                "a16_vs_a16_seed": _agreement(tok["a16"], tok["a16_seed2"]),
+                "greedy_a16_vs_a8": _agreement(tok["g_a16"], tok["g_a8"]),
+            })
+
+    def summarize(key):
+        m = [r[key]["match_rate"] for r in rows]
+        pl = [r[key]["prefix_len"] for r in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    return {
+        "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T},
+        "exact_a16_vs_a8": summarize("a16_vs_a8"),
+        "exact_a16_vs_a16_seed_noise_floor": summarize("a16_vs_a16_seed"),
+        "greedy_a16_vs_a8": summarize("greedy_a16_vs_a8"),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--prompts", type=int, default=4)
@@ -336,9 +408,10 @@ def main(argv=None):
     ap.add_argument(
         "--study",
         default="fused",
-        choices=["fused", "int8"],
+        choices=["fused", "int8", "w8a8"],
         help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
-        "vs int8-weights+cache gap",
+        "vs int8-weights+cache gap; w8a8: bf16- vs int8-activation "
+        "prefill over identical int8 weights",
     )
     ap.add_argument("--json", action="store_true")
     ap.add_argument(
@@ -354,7 +427,11 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    study = run_study if args.study == "fused" else run_int8_study
+    study = {
+        "fused": run_study,
+        "int8": run_int8_study,
+        "w8a8": run_w8a8_study,
+    }[args.study]
     out = study(
         args.hidden, args.layers, args.vocab,
         args.prompts, args.seeds, args.tokens,

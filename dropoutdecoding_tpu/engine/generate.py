@@ -141,6 +141,10 @@ class LlavaEngine:
     int8_kv: bool = False  # int8-quantized KV cache (halves the decode
     #   cache stream; pairs with utils/quantize.quantize_llama_params for
     #   full-depth 7B on a 16 GB chip)
+    w8a8_prefill: bool = False  # int8-MXU prefill projections (s8 x s8 ->
+    #   s32, ~1.6x the bf16 MXU rate): quantize activation rows on the fly
+    #   against the already-int8 weights.  Prefill-only — decode is
+    #   HBM-bound.  Opt-in; drift measured in cli/fused_gap.py --study w8a8
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -174,7 +178,9 @@ class LlavaEngine:
         merged = llava_mod.merge_image_features(text_embeds, feats, image_pos)
         S = merged.shape[1]
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-        hidden, kv = llama_mod.prefill(params.lm, cfg.text, merged, positions)
+        hidden, kv = llama_mod.prefill(
+            params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
+        )
 
         # visual-span logits -> uncertainty + top-k projection table
         # (reference llava.py:310-314, 390-410)

@@ -45,7 +45,9 @@ class InstructBlipEngine(LlavaEngine):
         merged = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)
         S = merged.shape[1]
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-        hidden, kv = llama_mod.prefill(params.lm, cfg.text, merged, positions)
+        hidden, kv = llama_mod.prefill(
+            params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
+        )
 
         img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
         uncert = vision_uncertainty_auto(img_logits)

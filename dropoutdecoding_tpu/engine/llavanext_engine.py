@@ -77,7 +77,8 @@ class LlavaNextEngine(LlavaEngine):
         B, S, _ = merged.shape
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
         hidden, kv = llama_mod.prefill(
-            params.lm, cfg.text, merged, positions, key_mask=key_mask
+            params.lm, cfg.text, merged, positions, key_mask=key_mask,
+            w8a8=self.w8a8_prefill,
         )
 
         def span(h, p):

@@ -274,10 +274,34 @@ def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     )
 
 
-def _mlp(lp: dict, x: jax.Array) -> jax.Array:
-    gate = _mm(x, lp["gate_proj"])
-    up = _mm(x, lp["up_proj"])
-    return _mm(jax.nn.silu(gate) * up, lp["down_proj"])
+def _mm_w8a8(x: jax.Array, w) -> jax.Array:
+    """int8-activation x int8-weight matmul on the native int8 MXU path
+    (s8 x s8 -> s32), for the opt-in w8a8 PREFILL mode.  Measured 1.63x
+    the bf16 MXU rate on v5e at [608, 4096] x [4096, 11008] (268 vs 164
+    TF/s-equivalent).  Prefill is compute-bound so this is a real latency
+    lever (the POPE fast path is pure prefill); decode is HBM-bound and
+    gains nothing, so it keeps the bf16 feed.  Activation rows are
+    quantized on the fly (utils/quantize.quantize_activations); both
+    scales fold into the int32 output.  Token-level drift is measured in
+    cli/fused_gap.py --study w8a8 (STATUS.md).  Dense (unquantized)
+    weights fall back to the bf16 path."""
+    if not isinstance(w, dict):
+        return _mm(x, w)
+    from ..utils.quantize import quantize_activations
+
+    qx, sx = quantize_activations(x)
+    y = jnp.einsum(
+        "...d,de->...e", qx, w["q"], preferred_element_type=jnp.int32
+    )
+    return (y.astype(jnp.float32) * sx * w["s"].astype(jnp.float32)[0]).astype(
+        x.dtype
+    )
+
+
+def _mlp(lp: dict, x: jax.Array, mm=_mm) -> jax.Array:
+    gate = mm(x, lp["gate_proj"])
+    up = mm(x, lp["up_proj"])
+    return mm(jax.nn.silu(gate) * up, lp["down_proj"])
 
 
 def prefill(
@@ -286,6 +310,7 @@ def prefill(
     inputs_embeds: jax.Array,
     positions: jax.Array,
     key_mask: jax.Array | None = None,
+    w8a8: bool = False,
 ):
     """Full-sequence causal forward.
 
@@ -322,18 +347,20 @@ def prefill(
             return chunked_prefill_attention(q, k, v, key_mask, causal=True)
         return prefill_attention(q, k, v, causal=True, key_mask=key_mask)
 
+    mm = _mm_w8a8 if w8a8 else _mm  # w8a8: int8-MXU projections (prefill only)
+
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q = _mm(h, lp["q_proj"]).reshape(B, S, H, Dh)
-        k = _mm(h, lp["k_proj"]).reshape(B, S, KH, Dh)
-        v = _mm(h, lp["v_proj"]).reshape(B, S, KH, Dh)
+        q = mm(h, lp["q_proj"]).reshape(B, S, H, Dh)
+        k = mm(h, lp["k_proj"]).reshape(B, S, KH, Dh)
+        v = mm(h, lp["v_proj"]).reshape(B, S, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = _attend(q, k, v)
         attn = attn.reshape(B, S, H * Dh)
-        x = x + _mm(attn, lp["o_proj"])
+        x = x + mm(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
-        x = x + _mlp(lp, h2)
+        x = x + _mlp(lp, h2, mm)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(

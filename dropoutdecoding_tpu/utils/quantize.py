@@ -64,3 +64,18 @@ def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
     if quantize_lm_head:
         out["lm_head"] = quantize_matrix(params["lm_head"])
     return out
+
+
+def quantize_activations(x: jax.Array):
+    """Per-row (last-axis) symmetric int8 for activations — the "a8" half
+    of the w8a8 prefill mode.  Unlike weights (quantized once, offline),
+    activations are quantized on the fly per token row; the scale rides
+    along and folds into the int32 matmul output together with the
+    weight's per-output-channel scale.
+
+    Returns (q int8 [..., D], s f32 [..., 1])."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s

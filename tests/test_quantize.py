@@ -196,3 +196,31 @@ def test_int8_kv_engine_end_to_end(rng):
     # full generate runs under jit with the quantized cache
     out = quant.generate(ids, px)
     assert out.tokens.shape == (1, 6)
+
+
+def test_w8a8_matmul_close_to_dense():
+    """_mm_w8a8 (int8 MXU path) vs the dequantized-weight bf16 path: the
+    extra error from activation rows being quantized to int8 is bounded
+    (per-row symmetric scales; both weight paths share the same int8
+    weights so this isolates the a8 half)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dropoutdecoding_tpu.models.llama import _mm, _mm_w8a8
+    from dropoutdecoding_tpu.utils.quantize import quantize_matrix
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 96, 256)) * 0.5, jnp.bfloat16)
+    w = rng.normal(size=(256, 192)).astype(np.float32) * 0.02
+    wq = quantize_matrix(jnp.asarray(w))
+
+    ref = np.asarray(_mm(x, wq), np.float32)  # int8 weights, bf16 acts
+    got = np.asarray(_mm_w8a8(x, wq), np.float32)  # int8 weights + acts
+    denom = np.abs(ref).max() + 1e-9
+    assert np.max(np.abs(ref - got)) / denom < 0.03
+    # dense weights fall through to the bf16 path unchanged
+    dense = jnp.asarray(w, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(_mm_w8a8(x, dense), np.float32),
+        np.asarray(_mm(x, dense), np.float32),
+    )
