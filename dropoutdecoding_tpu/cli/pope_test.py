@@ -88,6 +88,8 @@ def main(args):
         voting_numbers=args.voting_numbers,
         use_random=args.use_random,
         seed=args.seed,
+        quantize=getattr(args, "quantize", None),
+        int8_kv=getattr(args, "int8_kv", False),
     )
     engine, processor = make_engine(eng_args)
     # POPE needs a single token (reference pope_test.py:239-242)
@@ -158,6 +160,18 @@ def build_parser():
     p.add_argument("--avg", type=str2bool, default=False)
     p.add_argument("--voting-numbers", type=int, default=3)
     p.add_argument("--use_random", type=str2bool, default=False)
+    p.add_argument(
+        "--quantize",
+        type=str,
+        default=None,
+        choices=[None, "int8", "w8a8"],
+        help="LM tower quantization; 'w8a8' additionally runs prefill "
+        "projections on the int8 MXU — the POPE workload is pure prefill "
+        "(max_new_tokens=1), so this is its main latency lever (1.41x "
+        "device prefill at 7B depth)",
+    )
+    p.add_argument("--int8-kv", type=str2bool, default=False,
+                   help="int8-quantized KV cache")
     return p
 
 
