@@ -476,12 +476,23 @@ def run_once(n_layers):
     try:
         import gc
 
-        del state
+        # free EVERYTHING llava-sized before building the Mistral tower —
+        # both 7B weight sets never coexist on the 16 GB chip.  (exec/del
+        # tricks don't touch function locals; spell the dels out.)
+        del state, greedy_engine, ens_engine, fused_engine, params, lm
+        del proto, step
         try:
             del state16, k8
         except NameError:
             pass
-        del greedy_engine, ens_engine, fused_engine, params, lm, proto, step
+        try:
+            del st  # prefill state holds a full cache
+        except NameError:
+            pass
+        try:
+            del e8
+        except NameError:
+            pass
         gc.collect()
 
         from dropoutdecoding_tpu.utils.config import LlamaConfig as _LC

@@ -136,7 +136,11 @@ def build_parser():
     p.add_argument("--use_random", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--fused-step", type=str2bool, default=True)
-    p.add_argument("--quantize", type=str, default=None, choices=[None, "int8"])
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=[None, "int8", "w8a8"]
+    )
+    p.add_argument("--int8-kv", type=str2bool, default=False,
+                   help="int8-quantized KV cache for the slot pool")
     return p
 
 
