@@ -74,7 +74,10 @@ class PrefillState(NamedTuple):
     first_token: jax.Array  # [B] greedy token from the prompt's last logits
     epis: jax.Array  # [B, N] epistemic uncertainty per visual token
     topk_ids: jax.Array  # [B, N, k] text-projection table
-    image_logits: jax.Array  # [B, N, V] visual-token logits (for epis_kl)
+    image_logits: jax.Array  # [B, N, V] visual-token logits under the
+    #   epis_kl policy (its per-step KL keep-set needs them); a [B, N, 1]
+    #   zero stub for every other policy (kl_logits_or_stub) so the
+    #   ~74 MB/image fp32 buffer never stays resident
     image_pos: jax.Array  # [B] start of the visual span
     visual_mask: jax.Array  # [B, N] validity (LLaVA-NeXT pads N to a max)
     probe_ids: jax.Array  # [B, P] VQA probe token ids (-1 pad; "vqa" policy)
@@ -148,6 +151,12 @@ class LlavaEngine:
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
+        # Round the cache length up to the int8 sublane tile: the fused
+        # GQA decode-attention kernels pad S to a 32-multiple, and at an
+        # unaligned max_len that pad is a full cache copy inside EVERY
+        # layer of every step.  Extra slots sit beyond cur_len and are
+        # masked off, so this is semantically free.
+        self.max_len = -(-self.max_len // 32) * 32
         if self.ens.fused_step and self.ens.mask_policy == "epis_kl":
             raise ValueError(
                 "epis_kl needs the CURRENT step's unmasked logits for its "

@@ -263,19 +263,19 @@ def ensemble_decode_attention_int8kv_fused(
     kn2 = k_new.reshape(B, M, KH * D).astype(jnp.bfloat16)
     vn2 = v_new.reshape(B, M, KH * D).astype(jnp.bfloat16)
 
-    bcast = lambda shape: (lambda b, g: (b,) + (0,) * (len(shape) - 1))
+    bcast = lambda b, g: (b, 0, 0)
     out = pl.pallas_call(
         functools.partial(_kernel, G=G, D=D, scale=1.0 / (D**0.5)),
         grid=(B, KH),
         in_specs=[
-            pl.BlockSpec((1, M, H * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KH, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KH, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, KH * D), bcast((1,) * 3), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, Sp), bcast((1,) * 3), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, H * D), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, KH * D), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, Sp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, KH * D), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, Sp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, KH * D), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, KH * D), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, Sp), bcast, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, M, G * D), lambda b, g: (b, g, 0, 0), memory_space=pltpu.VMEM

@@ -73,9 +73,8 @@ def quantize_activations(x: jax.Array):
     along and folds into the int32 matmul output together with the
     weight's per-output-channel scale.
 
-    Returns (q int8 [..., D], s f32 [..., 1])."""
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    s = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
-    return q, s
+    Returns (q int8 [..., D], s f32 [..., 1]).  Same per-row symmetric
+    scheme as the KV-cache quantizer — delegate so the two paths can
+    never diverge."""
+    d = quantize_kv(x)
+    return d["q"], d["s"]

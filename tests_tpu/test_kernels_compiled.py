@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 def _tpu_available() -> bool:
     try:
-        return any(d.platform != "cpu" for d in jax.devices())
+        return any(d.platform == "tpu" for d in jax.devices())
     except Exception:
         return False
 
