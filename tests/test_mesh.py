@@ -279,3 +279,44 @@ def test_tp_sharded_int8_generate_matches_single_device(tiny):
         tokens, _ = eng._decode(eng.params, state)
         tokens = np.asarray(tokens)
     np.testing.assert_array_equal(tokens, ref.tokens)
+
+
+def test_tp_decode_collective_budget(tiny):
+    """The compiled TP decode program inserts a small, FIXED number of
+    collectives (megatron TP needs one all-reduce after o_proj and one
+    after down_proj per layer body — and lax.scan compiles the layer body
+    ONCE, so the count must not scale with depth or step count).  A spec
+    mistake that makes XLA reshard weights or cache inside the loop shows
+    up as dozens of collectives; this pins the budget (docs/DESIGN.md
+    section 4's cost model rests on it)."""
+    import re
+
+    cfg, params = tiny
+    B = 2
+    input_ids, pixels = _inputs(cfg, B)
+    mesh = make_mesh(n_data=2, n_model=4)
+    eng = _engine(cfg, shard_llava_params(params, mesh))
+    with mesh:
+        state = _sharded_state(eng, mesh, input_ids, pixels)
+        hlo = eng._decode.lower(eng.params, state).compile().as_text()
+
+    # count instruction DEFINITIONS ("%x = ty all-reduce(...)"), not every
+    # textual mention of the op name (each def is referenced many times)
+    defs = [
+        l
+        for l in hlo.splitlines()
+        if re.search(
+            r"= \S+ (all-reduce|all-gather|collective-permute|all-to-all)"
+            r"(-start)?\(",
+            l,
+        )
+    ]
+    n_ar = sum(" all-reduce" in l for l in defs)
+    # SPMD must actually be active: >= 4 all-reduces (2 scan bodies x
+    # {o_proj, down_proj})...
+    assert n_ar >= 4, (n_ar, len(defs))
+    # ...and bounded: measured 18 defs total (4 megatron ARs + small
+    # vote/argmax/top-k gathers over the vocab-sharded lm_head, all on
+    # KB-scale operands).  A spec mistake that reshards weights or cache
+    # inside the loop produces far more.
+    assert len(defs) <= 24, (n_ar, len(defs), defs[:5])
