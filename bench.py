@@ -447,6 +447,34 @@ def run_once(n_layers):
             f"=> POPE fast path {1.0 / best8:.1f} questions/s/chip",
             file=sys.stderr, flush=True,
         )
+
+        # batched POPE: 8 variable-length questions, right-padded with
+        # per-row text_lens (cli/pope_test.py --batch-size path) — one
+        # dispatch + one batched ViT pass instead of 8
+        Bq = 8
+        rngq = np.random.default_rng(1)
+        qlens = rngq.integers(28, 34, Bq)
+        Sq = 40
+        idsq = np.zeros((Bq, Sq), np.int32)
+        for i, L in enumerate(qlens):
+            row = [1] + list(rngq.integers(4, 1000, L - 2)) + [2]
+            row[3] = cfg.image_token_index
+            idsq[i, :L] = row
+        pxq = rngq.normal(size=(Bq, 3, 336, 336)).astype(np.float32)
+        stq = e8.prefill(idsq, pxq, text_lens=qlens.astype(np.int32))
+        _fetch(stq.first_token)
+        bestq = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            stq = e8.prefill(idsq, pxq, text_lens=qlens.astype(np.int32))
+            _fetch(stq.first_token)
+            bestq = min(bestq, time.perf_counter() - t0)
+        bestq = max(bestq - ov, bestq / 2)
+        print(
+            f"batched POPE (w8a8, batch {Bq}, var-len): "
+            f"{bestq * 1000:.1f} ms => {Bq / bestq:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
     except Exception as e:
         print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -488,6 +516,10 @@ def run_once(n_layers):
             pass
         try:
             del st  # prefill state holds a full cache
+        except NameError:
+            pass
+        try:
+            del stq  # batched-POPE state: B=8 cache
         except NameError:
             pass
         try:

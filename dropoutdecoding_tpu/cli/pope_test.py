@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+
+import numpy as np
 from datetime import datetime
 
 from ..evalsuite.pope import (
@@ -123,11 +125,57 @@ def main(args):
         answers = []
         from tqdm import tqdm
 
-        for q in tqdm(questions[:n]):
-            image = Image.open(os.path.join(image_base, q["image"])).convert("RGB")
-            prompt = POPE_PROMPTS[args.model].format(q["text"])
-            text = run_engine(engine, processor, model_key, prompt, image).strip()
-            answers.append({"question": q["text"], "answer": text})
+        batch = max(getattr(args, "batch_size", 1) or 1, 1)
+        if batch > 1 and model_key == "llava-1.5":
+            # Batched fast path: a POPE answer is one token = the argmax
+            # at the prompt's last position, so the whole workload is
+            # prefill.  Questions differ in length — right-pad the batch
+            # and pass per-row text_lens (engine._prefill_impl handles
+            # variable-length rows exactly; tested in tests/test_engine.py
+            # ::test_variable_length_batched_prefill_matches_per_row).
+            # Text length buckets to a multiple of 8 to bound recompiles.
+            for start in tqdm(range(0, n, batch)):
+                group = questions[start : min(start + batch, n)]
+                encs, lens = [], []
+                for q in group:
+                    image = Image.open(
+                        os.path.join(image_base, q["image"])
+                    ).convert("RGB")
+                    prompt = POPE_PROMPTS[args.model].format(q["text"])
+                    e = processor(prompt, image)
+                    encs.append(e)
+                    lens.append(e["input_ids"].shape[1])
+                while len(encs) < batch:  # static batch on the tail group
+                    encs.append(encs[-1])
+                    lens.append(lens[-1])
+                S = -(-max(lens) // 8) * 8
+                ids = np.zeros((batch, S), np.int32)
+                for i, e in enumerate(encs):
+                    ids[i, : lens[i]] = np.asarray(e["input_ids"])[0]
+                px = np.concatenate(
+                    [np.asarray(e["pixel_values"]) for e in encs], 0
+                )
+                state = engine.prefill(
+                    ids, px, text_lens=np.asarray(lens, np.int32)
+                )
+                toks = np.asarray(state.first_token)
+                for q, t in zip(group, toks):
+                    answers.append(
+                        {
+                            "question": q["text"],
+                            "answer": processor.decode([int(t)]).strip(),
+                        }
+                    )
+        else:
+            for q in tqdm(questions[:n]):
+                image = Image.open(
+                    os.path.join(image_base, q["image"])
+                ).convert("RGB")
+                prompt = POPE_PROMPTS[args.model].format(q["text"])
+                text = run_engine(
+                    engine, processor, model_key, prompt, image
+                ).strip()
+                answers.append({"question": q["text"], "answer": text})
 
         # strategy in the name: the reference's timestamp-only scheme
         # (pope_test.py:255-256) silently overwrites same-second runs
@@ -172,6 +220,15 @@ def build_parser():
     )
     p.add_argument("--int8-kv", type=str2bool, default=False,
                    help="int8-quantized KV cache")
+    p.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help="questions per device batch (llava-1.5): POPE is pure "
+        "prefill, and variable-length questions are right-padded with "
+        "per-row lengths — amortizes the vision tower + dispatch across "
+        "the batch",
+    )
     return p
 
 

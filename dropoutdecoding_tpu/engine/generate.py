@@ -174,7 +174,14 @@ class LlavaEngine:
     # ------------------------------------------------------------------
     # prefill
     # ------------------------------------------------------------------
-    def _prefill_impl(self, params, input_ids, pixel_values):
+    def _prefill_impl(self, params, input_ids, pixel_values, text_lens=None):
+        """``text_lens`` (optional [B] int32): per-row REAL text length for
+        right-padded variable-length batches (e.g. the batched POPE path —
+        3,000 different questions).  Right padding is free under causal
+        attention: pad positions sit after every real token, so no real
+        position attends them during prefill, and decode masks cache slots
+        >= cur_len.  Only the last-real-position logits and cur_len need
+        per-row indexing."""
         cfg = self.cfg
         B, S_text = input_ids.shape
         N = cfg.vision.num_patches
@@ -200,14 +207,22 @@ class LlavaEngine:
         img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
         uncert = vision_uncertainty_auto(img_logits)
         topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
-        last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])  # [B, V]
+        if text_lens is None:
+            cur_len = jnp.full((B,), S, jnp.int32)
+            last_hidden = hidden[:, -1]
+        else:
+            cur_len = (jnp.asarray(text_lens, jnp.int32) + N - 1)  # merged len
+            idx = jnp.clip(cur_len - 1, 0, S - 1)
+            last_hidden = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0]
+        last_logits = llama_mod.lm_head(params.lm, last_hidden)  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         cache = llama_mod.empty_cache(
             cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
         )
         cache = llama_mod.cache_seed(cache, kv)
-        cur_len = jnp.full((B,), S, jnp.int32)
         return PrefillState(
             cache=cache,
             cur_len=cur_len,
@@ -473,9 +488,12 @@ class LlavaEngine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
-    def prefill(self, input_ids, pixel_values) -> PrefillState:
+    def prefill(self, input_ids, pixel_values, text_lens=None) -> PrefillState:
         return self._prefill(
-            self.params, jnp.asarray(input_ids), jnp.asarray(pixel_values)
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(pixel_values),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
         )
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:

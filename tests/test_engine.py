@@ -125,3 +125,42 @@ def test_use_avg_aggregation(tiny_llava):
         ens=EnsembleConfig(mask_policy="epis", use_avg=True),
     ).generate(input_ids, pixels)
     assert out.num_tokens[0] >= 1
+
+
+def test_variable_length_batched_prefill_matches_per_row(tiny_llava):
+    """Right-padded variable-length batch (text_lens): every per-row field
+    of the batched PrefillState matches the row's own single-row prefill —
+    the batched-POPE path's correctness contract."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    img = cfg.image_token_index
+
+    rows = [
+        [1, 5, img, 9, 4, 6],
+        [1, 5, img, 9],
+        [1, 7, 8, 5, img, 9, 3],
+    ]
+    rng = np.random.default_rng(0)
+    sz = cfg.vision.image_size
+    pixels = rng.normal(size=(3, 3, sz, sz)).astype(np.float32)
+    S = max(len(r) for r in rows)
+    ids = np.zeros((3, S), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+
+    batched = eng.prefill(ids, pixels, text_lens=lens)
+    for i, r in enumerate(rows):
+        single = eng.prefill(np.asarray([r], np.int32), pixels[i : i + 1])
+        assert int(batched.cur_len[i]) == int(single.cur_len[0])
+        assert int(batched.first_token[i]) == int(single.first_token[0])
+        np.testing.assert_allclose(
+            np.asarray(batched.last_logits[i]),
+            np.asarray(single.last_logits[0]),
+            atol=2e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.epis[i]),
+            np.asarray(single.epis[0]),
+            atol=2e-4, rtol=1e-3,
+        )
