@@ -449,8 +449,11 @@ def run_once(n_layers):
         )
 
         # batched POPE: 8 variable-length questions, right-padded with
-        # per-row text_lens (cli/pope_test.py --batch-size path) — one
-        # dispatch + one batched ViT pass instead of 8
+        # per-row text_lens (cli/pope_test.py --batch-size path).  Prefill
+        # is compute-bound, so the device-side win is modest (~the padding
+        # overhead); the point is ONE dispatch + one host round-trip per 8
+        # questions instead of 8 — which is what binds in deployments with
+        # per-dispatch latency (and exactly what the tunnel shows)
         Bq = 8
         rngq = np.random.default_rng(1)
         qlens = rngq.integers(28, 34, Bq)
@@ -475,6 +478,13 @@ def run_once(n_layers):
             f"{bestq * 1000:.1f} ms => {Bq / bestq:.1f} questions/s/chip",
             file=sys.stderr, flush=True,
         )
+        # free the prefill-block state BEFORE the stretch config — stq's
+        # B=8 cache (~1.4 GB) plus e8's programs tipped the 16 GB chip
+        # over once the stretch engine allocated its 16 caches
+        import gc as _gc
+
+        del st, stq, e8
+        _gc.collect()
     except Exception as e:
         print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

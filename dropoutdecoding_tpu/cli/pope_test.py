@@ -126,7 +126,7 @@ def main(args):
         from tqdm import tqdm
 
         batch = max(getattr(args, "batch_size", 1) or 1, 1)
-        if batch > 1 and model_key == "llava-1.5":
+        if batch > 1 and model_key in ("llava-1.5", "instructblip"):
             # Batched fast path: a POPE answer is one token = the argmax
             # at the prompt's last position, so the whole workload is
             # prefill.  Questions differ in length — right-pad the batch
@@ -134,30 +134,51 @@ def main(args):
             # variable-length rows exactly; tested in tests/test_engine.py
             # ::test_variable_length_batched_prefill_matches_per_row).
             # Text length buckets to a multiple of 8 to bound recompiles.
+            def pad_rows(rows):
+                """Right-pad int rows to a common multiple-of-8 length;
+                returns (ids [B, S], mask [B, S])."""
+                S = -(-max(len(r) for r in rows) // 8) * 8
+                out = np.zeros((len(rows), S), np.int32)
+                mask = np.zeros((len(rows), S), np.int32)
+                for i, r in enumerate(rows):
+                    out[i, : len(r)] = r
+                    mask[i, : len(r)] = 1
+                return out, mask
+
             for start in tqdm(range(0, n, batch)):
                 group = questions[start : min(start + batch, n)]
-                encs, lens = [], []
-                for q in group:
+                # static batch: repeat the last question on the tail group
+                full_group = group + [group[-1]] * (batch - len(group))
+                id_rows, q_rows, px_list = [], [], []
+                for q in full_group:
                     image = Image.open(
                         os.path.join(image_base, q["image"])
                     ).convert("RGB")
                     prompt = POPE_PROMPTS[args.model].format(q["text"])
                     e = processor(prompt, image)
-                    encs.append(e)
-                    lens.append(e["input_ids"].shape[1])
-                while len(encs) < batch:  # static batch on the tail group
-                    encs.append(encs[-1])
-                    lens.append(lens[-1])
-                S = -(-max(lens) // 8) * 8
-                ids = np.zeros((batch, S), np.int32)
-                for i, e in enumerate(encs):
-                    ids[i, : lens[i]] = np.asarray(e["input_ids"])[0]
-                px = np.concatenate(
-                    [np.asarray(e["pixel_values"]) for e in encs], 0
-                )
-                state = engine.prefill(
-                    ids, px, text_lens=np.asarray(lens, np.int32)
-                )
+                    id_rows.append(np.asarray(e["input_ids"])[0])
+                    px_list.append(np.asarray(e["pixel_values"]))
+                    if model_key == "instructblip":
+                        q_rows.append(
+                            np.asarray(
+                                processor.qformer_ids(prompt)
+                                if hasattr(processor, "qformer_ids")
+                                else e["input_ids"]
+                            )[0]
+                        )
+                lens = np.array([len(r) for r in id_rows], np.int32)
+                ids, _ = pad_rows(id_rows)
+                px = np.concatenate(px_list, 0)
+                if model_key == "instructblip":
+                    # the Q-Former also reads the (variable-length)
+                    # question; pads are masked in its attention
+                    q_ids, q_mask = pad_rows(q_rows)
+                    state = engine.prefill(
+                        ids, px, q_ids,
+                        text_lens=lens, qformer_attention_mask=q_mask,
+                    )
+                else:
+                    state = engine.prefill(ids, px, text_lens=lens)
                 toks = np.asarray(state.first_token)
                 for q, t in zip(group, toks):
                     answers.append(
@@ -224,7 +245,7 @@ def build_parser():
         "--batch-size",
         type=int,
         default=1,
-        help="questions per device batch (llava-1.5): POPE is pure "
+        help="questions per device batch (llava-1.5 / instructblip): POPE is pure "
         "prefill, and variable-length questions are right-padded with "
         "per-row lengths — amortizes the vision tower + dispatch across "
         "the batch",

@@ -33,13 +33,26 @@ class InstructBlipEngine(LlavaEngine):
     def n_visual(self) -> int:
         return self.cfg.num_query_tokens
 
-    def _prefill_impl(self, params, input_ids, pixel_values, qformer_input_ids=None):
+    def _prefill_impl(
+        self,
+        params,
+        input_ids,
+        pixel_values,
+        qformer_input_ids=None,
+        text_lens=None,
+        qformer_attention_mask=None,
+    ):
+        """``text_lens`` / ``qformer_attention_mask``: variable-length
+        batches (batched POPE).  Visual tokens come first in the merged
+        sequence, so right-padded text is exact under causal attention
+        just like the LLaVA engine; the Q-Former masks padded instruction
+        ids via its attention mask."""
         cfg = self.cfg
         B, S_text = input_ids.shape
         N = cfg.num_query_tokens
 
         visual = ib_mod.visual_tokens(
-            cfg, params, pixel_values, qformer_input_ids
+            cfg, params, pixel_values, qformer_input_ids, qformer_attention_mask
         )  # [B, N, D]
         text_embeds = llama_mod.embed(params.lm, input_ids)
         merged = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)
@@ -52,7 +65,16 @@ class InstructBlipEngine(LlavaEngine):
         img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
         uncert = vision_uncertainty_auto(img_logits)
         topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
-        last_logits = llama_mod.lm_head(params.lm, hidden[:, -1])
+        if text_lens is None:
+            cur_len = jnp.full((B,), S, jnp.int32)
+            last_hidden = hidden[:, -1]
+        else:
+            cur_len = jnp.asarray(text_lens, jnp.int32) + N
+            idx = jnp.clip(cur_len - 1, 0, S - 1)
+            last_hidden = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0]
+        last_logits = llama_mod.lm_head(params.lm, last_hidden)
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         cache = llama_mod.empty_cache(
@@ -61,7 +83,7 @@ class InstructBlipEngine(LlavaEngine):
         cache = llama_mod.cache_seed(cache, kv)
         return PrefillState(
             cache=cache,
-            cur_len=jnp.full((B,), S, jnp.int32),
+            cur_len=cur_len,
             last_logits=last_logits,
             first_token=first_token,
             epis=uncert["epis_uncert_per_token"],
@@ -74,12 +96,25 @@ class InstructBlipEngine(LlavaEngine):
             uncertainty=uncert,
         )
 
-    def prefill(self, input_ids, pixel_values, qformer_input_ids):
+    def prefill(
+        self,
+        input_ids,
+        pixel_values,
+        qformer_input_ids,
+        text_lens=None,
+        qformer_attention_mask=None,
+    ):
         return self._prefill(
             self.params,
             jnp.asarray(input_ids),
             jnp.asarray(pixel_values),
             jnp.asarray(qformer_input_ids),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+            (
+                None
+                if qformer_attention_mask is None
+                else jnp.asarray(qformer_attention_mask, jnp.int32)
+            ),
         )
 
     def generate(self, input_ids, pixel_values, qformer_input_ids=None):

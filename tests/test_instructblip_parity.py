@@ -191,3 +191,54 @@ def test_batched_generate_equals_per_row(tiny_instructblip, rng):
         np.testing.assert_array_equal(
             batched.tokens[b], np.asarray(row)[0], err_msg=f"row {b}"
         )
+
+
+def test_variable_length_batched_prefill_equals_per_row(tiny_instructblip, rng):
+    """Right-padded variable-length batch: per-row text_lens + a padded,
+    attention-masked Q-Former instruction must reproduce each row's own
+    unpadded prefill (the batched-POPE path for InstructBLIP)."""
+    _, cfg, params, _ = tiny_instructblip
+    rows = [[1, 9, 21, 33, 40], [1, 11, 23], [1, 13, 25, 37]]
+    q_rows = [[3, 7, 11, 13], [3, 7], [3, 9, 11]]
+    B = len(rows)
+    pixels = rng.normal(size=(B, 3, 28, 28)).astype(np.float32)
+
+    e = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis_quantile", topk=10,
+                           mask_accumulate=False),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+        max_len=48,
+        ensemble=True,
+        seed=5217,
+    )
+    e.param_dtype = jnp.float32
+
+    S = max(len(r) for r in rows)
+    Sq = max(len(r) for r in q_rows)
+    ids = np.zeros((B, S), np.int32)
+    q_ids = np.zeros((B, Sq), np.int32)
+    q_mask = np.zeros((B, Sq), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i in range(B):
+        ids[i, : len(rows[i])] = rows[i]
+        q_ids[i, : len(q_rows[i])] = q_rows[i]
+        q_mask[i, : len(q_rows[i])] = 1
+
+    batched = e.prefill(
+        ids, pixels, q_ids, text_lens=lens, qformer_attention_mask=q_mask
+    )
+    for i in range(B):
+        single = e.prefill(
+            np.asarray([rows[i]], np.int32),
+            pixels[i : i + 1],
+            np.asarray([q_rows[i]], np.int32),
+        )
+        assert int(batched.cur_len[i]) == int(single.cur_len[0])
+        assert int(batched.first_token[i]) == int(single.first_token[0])
+        np.testing.assert_allclose(
+            np.asarray(batched.last_logits[i]),
+            np.asarray(single.last_logits[0]),
+            atol=2e-4, rtol=1e-4,
+        )
