@@ -126,7 +126,7 @@ def main(args):
         from tqdm import tqdm
 
         batch = max(getattr(args, "batch_size", 1) or 1, 1)
-        if batch > 1 and model_key in ("llava-1.5", "instructblip"):
+        if batch > 1 and model_key in ("llava-1.5", "instructblip", "llava-next"):
             # Batched fast path: a POPE answer is one token = the argmax
             # at the prompt's last position, so the whole workload is
             # prefill.  Questions differ in length — right-pad the batch
@@ -145,16 +145,33 @@ def main(args):
                     mask[i, : len(r)] = 1
                 return out, mask
 
+            next_prep = None
+            if model_key == "llava-next":
+                from ..utils.processor import LlavaNextImagePreprocessor
+
+                next_prep = LlavaNextImagePreprocessor(
+                    [list(p) for p in engine.cfg.image_grid_pinpoints],
+                    tile_size=engine.cfg.vision.image_size,
+                )
+
             for start in tqdm(range(0, n, batch)):
                 group = questions[start : min(start + batch, n)]
                 # static batch: repeat the last question on the tail group
                 full_group = group + [group[-1]] * (batch - len(group))
-                id_rows, q_rows, px_list = [], [], []
+                id_rows, q_rows, px_list, tiles, origs = [], [], [], [], []
                 for q in full_group:
                     image = Image.open(
                         os.path.join(image_base, q["image"])
                     ).convert("RGB")
                     prompt = POPE_PROMPTS[args.model].format(q["text"])
+                    if model_key == "llava-next":
+                        id_rows.append(
+                            np.asarray(processor(prompt)["input_ids"])[0]
+                        )
+                        t, o = next_prep(image)
+                        tiles.append(t)
+                        origs.append(o)
+                        continue
                     e = processor(prompt, image)
                     id_rows.append(np.asarray(e["input_ids"])[0])
                     px_list.append(np.asarray(e["pixel_values"]))
@@ -168,17 +185,20 @@ def main(args):
                         )
                 lens = np.array([len(r) for r in id_rows], np.int32)
                 ids, _ = pad_rows(id_rows)
-                px = np.concatenate(px_list, 0)
-                if model_key == "instructblip":
+                if model_key == "llava-next":
+                    state = engine.prefill(ids, tiles, origs, text_lens=lens)
+                elif model_key == "instructblip":
                     # the Q-Former also reads the (variable-length)
                     # question; pads are masked in its attention
                     q_ids, q_mask = pad_rows(q_rows)
                     state = engine.prefill(
-                        ids, px, q_ids,
+                        ids, np.concatenate(px_list, 0), q_ids,
                         text_lens=lens, qformer_attention_mask=q_mask,
                     )
                 else:
-                    state = engine.prefill(ids, px, text_lens=lens)
+                    state = engine.prefill(
+                        ids, np.concatenate(px_list, 0), text_lens=lens
+                    )
                 toks = np.asarray(state.first_token)
                 for q, t in zip(group, toks):
                     answers.append(
@@ -245,7 +265,7 @@ def build_parser():
         "--batch-size",
         type=int,
         default=1,
-        help="questions per device batch (llava-1.5 / instructblip): POPE is pure "
+        help="questions per device batch (all model families): POPE is pure "
         "prefill, and variable-length questions are right-padded with "
         "per-row lengths — amortizes the vision tower + dispatch across "
         "the batch",

@@ -51,7 +51,8 @@ class LlavaNextEngine(LlavaEngine):
         return self._n_max
 
     def _prefill_impl(
-        self, params, input_ids, tile_pixels, gather_idx, valid, image_pos
+        self, params, input_ids, tile_pixels, gather_idx, valid, image_pos,
+        text_lens=None,
     ):
         """Batched prefill (jit-specialized on (B, T_pad, S_text) only).
 
@@ -72,7 +73,7 @@ class LlavaNextEngine(LlavaEngine):
             params.lm, jnp.where(input_ids == cfg.image_token_index, 0, input_ids)
         )
         merged, key_mask, real_len = next_mod.merge_with_text_batched(
-            text_embeds, packed, valid, image_pos
+            text_embeds, packed, valid, image_pos, text_lens
         )
         B, S, _ = merged.shape
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
@@ -113,9 +114,11 @@ class LlavaNextEngine(LlavaEngine):
             uncertainty=uncert,
         )
 
-    def prefill(self, input_ids, tile_pixels, original_size):
+    def prefill(self, input_ids, tile_pixels, original_size, text_lens=None):
         """Args:
-          input_ids: [B, S_text] (same prompt length per row).
+          input_ids: [B, S_text] (right-padded; pass text_lens for
+            variable-length rows — the merge compacts per row, so pads
+            land past real_len and are masked like visual padding).
           tile_pixels: [n_tiles, 3, s, s] for B=1, or a list of B such
             arrays (per-image tile counts may differ).
           original_size: (h, w) for B=1, or a list of B (h, w) pairs.
@@ -155,6 +158,7 @@ class LlavaNextEngine(LlavaEngine):
             jnp.asarray(np.stack(gathers)),
             jnp.asarray(np.stack(valids)),
             jnp.asarray(positions, jnp.int32),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
         )
 
     def generate(self, input_ids, tile_pixels, original_size):

@@ -247,12 +247,16 @@ def merge_with_text_batched(
     packed_features: jax.Array,
     valid: jax.Array,
     image_pos: jax.Array,
+    text_lens: jax.Array | None = None,
 ):
     """Batched ``merge_with_text`` with per-row DYNAMIC image positions.
 
     Args:
       inputs_embeds: [B, S_text, D]; packed_features: [B, N_max, D];
       valid: [B, N_max]; image_pos: [B] int32.
+      text_lens: optional [B] per-row REAL text length for right-padded
+        variable-length batches; pad positions map past real_len and are
+        zeroed/masked like the visual padding.
     Returns:
       (merged [B, S_out, D], key_mask [B, S_out], real_len [B]).
     Layout per row: [pre | packed_valid | post | pad...]; all index math
@@ -263,7 +267,8 @@ def merge_with_text_batched(
     N_max = packed_features.shape[1]
     n_img = jnp.sum(valid, axis=1)  # [B]
     S_out = S_text - 1 + N_max
-    real_len = S_text - 1 + n_img  # [B]
+    t_len = S_text if text_lens is None else jnp.asarray(text_lens, jnp.int32)
+    real_len = t_len - 1 + n_img  # [B]
 
     j = jnp.arange(S_out)[None, :]  # [1, S_out]
     ip = image_pos[:, None]

@@ -255,3 +255,56 @@ def test_batched_generate_equals_per_row(tiny_llava_next):
         np.testing.assert_array_equal(
             batched.tokens[b], np.asarray(row)[0], err_msg=f"row {b}"
         )
+
+
+def test_variable_length_batched_prefill_equals_per_row(tiny_llava_next):
+    """Variable TEXT lengths on top of variable tile counts: right-padded
+    rows + text_lens reproduce each row's own unpadded prefill (batched
+    POPE for LLaVA-NeXT)."""
+    from PIL import Image
+
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(12)
+    prep = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)
+    sizes = [(40, 50), (30, 95), (64, 40)]
+    tiles, origs = [], []
+    for hw in sizes:
+        img = Image.fromarray(
+            (rng.random(hw + (3,)) * 255).astype(np.uint8), "RGB"
+        )
+        t, o = prep(img)
+        tiles.append(t)
+        origs.append(o)
+
+    rows = [[1, 5, 32, 11, 7], [1, 32, 9], [32, 5, 9, 11]]
+    S = max(len(r) for r in rows)
+    ids = np.zeros((3, S), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+
+    e = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis", mask_accumulate=False, topk=10),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=63, pad_token_id=63),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=True,
+        seed=506,
+    )
+    e.param_dtype = jnp.float32
+
+    batched = e.prefill(ids, tiles, origs, text_lens=lens)
+    for i, r in enumerate(rows):
+        single = e.prefill(
+            np.asarray([r], np.int32), tiles[i], tuple(origs[i])
+        )
+        assert int(batched.cur_len[i]) == int(single.cur_len[0]), i
+        assert int(batched.first_token[i]) == int(single.first_token[0]), i
+        np.testing.assert_allclose(
+            np.asarray(batched.last_logits[i]),
+            np.asarray(single.last_logits[0]),
+            atol=2e-4, rtol=1e-4,
+        )
