@@ -158,6 +158,29 @@ def make_engine(args):
     return engine, processor
 
 
+def next_image_prep(engine):
+    """Cached anyres tile preprocessor for a LlavaNextEngine (one per
+    engine; shared by the chair and pope harnesses)."""
+    if not hasattr(engine, "_next_prep_cache"):
+        from ..utils.processor import LlavaNextImagePreprocessor
+
+        engine._next_prep_cache = LlavaNextImagePreprocessor(
+            [list(p) for p in engine.cfg.image_grid_pinpoints],
+            tile_size=engine.cfg.vision.image_size,
+        )
+    return engine._next_prep_cache
+
+
+def qformer_ids_for(processor, prompt, enc):
+    """InstructBLIP's Q-Former instruction ids, falling back to the LM ids
+    when the processor has no separate Q-Former tokenizer."""
+    return (
+        processor.qformer_ids(prompt)
+        if hasattr(processor, "qformer_ids")
+        else enc["input_ids"]
+    )
+
+
 def run_engine(engine, processor, model, prompt, image):
     """One caption: model-specific input prep + generate + decode."""
     use_cd = engine.gen.use_cd
@@ -167,14 +190,8 @@ def run_engine(engine, processor, model, prompt, image):
         import jax
 
         from ..decoding.vcd import diffusion_noise
-        from ..utils.processor import LlavaNextImagePreprocessor
 
-        if not hasattr(run_engine, "_next_prep"):
-            run_engine._next_prep = LlavaNextImagePreprocessor(
-                [list(p) for p in engine.cfg.image_grid_pinpoints],
-                tile_size=engine.cfg.vision.image_size,
-            )
-        tiles, orig = run_engine._next_prep(image)
+        tiles, orig = next_image_prep(engine)(image)
         ids = processor(prompt)["input_ids"]
         if use_cd:
             import numpy as _np
@@ -201,11 +218,7 @@ def run_engine(engine, processor, model, prompt, image):
             result = engine.generate(ids, tiles, orig)
     elif model == "instructblip":
         inputs = processor(prompt, image)
-        q_ids = (
-            processor.qformer_ids(prompt)
-            if hasattr(processor, "qformer_ids")
-            else inputs["input_ids"]
-        )
+        q_ids = qformer_ids_for(processor, prompt, inputs)
         if use_beam:
             from ..engine.baselines import beam_generate
 

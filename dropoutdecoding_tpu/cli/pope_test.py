@@ -126,7 +126,7 @@ def main(args):
         from tqdm import tqdm
 
         batch = max(getattr(args, "batch_size", 1) or 1, 1)
-        if batch > 1 and model_key in ("llava-1.5", "instructblip", "llava-next"):
+        if batch > 1:
             # Batched fast path: a POPE answer is one token = the argmax
             # at the prompt's last position, so the whole workload is
             # prefill.  Questions differ in length — right-pad the batch
@@ -145,21 +145,12 @@ def main(args):
                     mask[i, : len(r)] = 1
                 return out, mask
 
-            next_prep = None
-            if model_key == "llava-next":
-                from ..utils.processor import LlavaNextImagePreprocessor
-
-                next_prep = LlavaNextImagePreprocessor(
-                    [list(p) for p in engine.cfg.image_grid_pinpoints],
-                    tile_size=engine.cfg.vision.image_size,
-                )
+            from .chair_test import next_image_prep, qformer_ids_for
 
             for start in tqdm(range(0, n, batch)):
                 group = questions[start : min(start + batch, n)]
-                # static batch: repeat the last question on the tail group
-                full_group = group + [group[-1]] * (batch - len(group))
                 id_rows, q_rows, px_list, tiles, origs = [], [], [], [], []
-                for q in full_group:
+                for q in group:
                     image = Image.open(
                         os.path.join(image_base, q["image"])
                     ).convert("RGB")
@@ -168,7 +159,7 @@ def main(args):
                         id_rows.append(
                             np.asarray(processor(prompt)["input_ids"])[0]
                         )
-                        t, o = next_prep(image)
+                        t, o = next_image_prep(engine)(image)
                         tiles.append(t)
                         origs.append(o)
                         continue
@@ -177,12 +168,13 @@ def main(args):
                     px_list.append(np.asarray(e["pixel_values"]))
                     if model_key == "instructblip":
                         q_rows.append(
-                            np.asarray(
-                                processor.qformer_ids(prompt)
-                                if hasattr(processor, "qformer_ids")
-                                else e["input_ids"]
-                            )[0]
+                            np.asarray(qformer_ids_for(processor, prompt, e))[0]
                         )
+                # static batch: replicate the last row's ALREADY-BUILT
+                # arrays on the tail group (no redundant decode/tiling)
+                for rows in (id_rows, q_rows, px_list, tiles, origs):
+                    if rows:
+                        rows.extend([rows[-1]] * (batch - len(group)))
                 lens = np.array([len(r) for r in id_rows], np.int32)
                 ids, _ = pad_rows(id_rows)
                 if model_key == "llava-next":

@@ -45,14 +45,30 @@ from ..ops.uncertainty import (
 from ..utils.config import EnsembleConfig, GenerationConfig, LlavaConfig
 
 
-def extract_probe_ids(input_ids: jax.Array, marker: int = 727, max_probes: int = 8):
+def extract_probe_ids(
+    input_ids: jax.Array,
+    marker: int = 727,
+    max_probes: int = 8,
+    text_lens: jax.Array | None = None,
+):
     """Token ids following the first `marker` ('?') token — the reference's
-    POPE probe-word capture (instructblip.py:653-659).  -1 padded."""
+    POPE probe-word capture (instructblip.py:653-659).  -1 padded.
+
+    ``text_lens``: per-row real length for right-padded variable-length
+    batches — without it, pad token 0 past a row's real end would be
+    captured as a valid probe id (and 0 is a valid vocab id, so the
+    "vqa" mask policy's keep-set would silently change vs the unpadded
+    row)."""
     B, S = input_ids.shape
     pos = jnp.argmax(input_ids == marker, axis=1)  # [B]
     has = jnp.any(input_ids == marker, axis=1)
     gather = pos[:, None] + 1 + jnp.arange(max_probes)[None]
-    valid = has[:, None] & (gather < S)
+    limit = (
+        jnp.full((B, 1), S)
+        if text_lens is None
+        else jnp.asarray(text_lens, jnp.int32)[:, None]
+    )
+    valid = has[:, None] & (gather < limit)
     ids = jnp.take_along_axis(input_ids, jnp.clip(gather, 0, S - 1), axis=1)
     return jnp.where(valid, ids, -1).astype(jnp.int32)
 
@@ -233,7 +249,7 @@ class LlavaEngine:
             image_logits=kl_logits_or_stub(img_logits, self.ens.mask_policy),
             image_pos=image_pos,
             visual_mask=jnp.ones((B, N), bool),
-            probe_ids=extract_probe_ids(input_ids),
+            probe_ids=extract_probe_ids(input_ids, text_lens=text_lens),
             rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )

@@ -109,7 +109,7 @@ class LlavaNextEngine(LlavaEngine):
             image_logits=kl_logits_or_stub(img_logits, self.ens.mask_policy),
             image_pos=image_pos.astype(jnp.int32),
             visual_mask=valid,
-            probe_ids=extract_probe_ids(input_ids),
+            probe_ids=extract_probe_ids(input_ids, text_lens=text_lens),
             rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )

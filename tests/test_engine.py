@@ -164,3 +164,21 @@ def test_variable_length_batched_prefill_matches_per_row(tiny_llava):
             np.asarray(single.epis[0]),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_variable_length_probe_ids_ignore_padding(tiny_llava):
+    """Right-padded rows must NOT capture pad token 0 as a VQA probe id
+    (0 is a valid vocab id; the 'vqa' keep-set would silently change)."""
+    from dropoutdecoding_tpu.engine.generate import extract_probe_ids
+
+    # marker 727 near the row's real end, then pad 0s
+    ids = np.zeros((2, 12), np.int32)
+    ids[0, :6] = [1, 55, 99, 727, 300, 301]
+    ids[1, :5] = [1, 727, 40, 41, 42]
+    lens = np.array([6, 5], np.int32)
+    got = np.asarray(extract_probe_ids(jnp.asarray(ids), text_lens=lens))
+    np.testing.assert_array_equal(got[0], [300, 301, -1, -1, -1, -1, -1, -1])
+    np.testing.assert_array_equal(got[1], [40, 41, 42, -1, -1, -1, -1, -1])
+    # without text_lens the pads WOULD be captured — documents the hazard
+    raw = np.asarray(extract_probe_ids(jnp.asarray(ids)))
+    assert (raw[0] == 0).any()
