@@ -110,3 +110,46 @@ def test_pope_refresh_questions(coco_dir, tmp_path):
         assert labels == {"yes", "no"}
         for q in qs:
             assert q["text"].startswith("Is there a")
+
+
+def test_make_engine_quantize_flag_plumbing(monkeypatch, tiny_llava):
+    """--quantize w8a8 + --int8-kv reach the engine: int8 weight leaves,
+    w8a8_prefill and int8_kv set (the CLI->engine wiring the e2e tests
+    bypass via their fake make_engine)."""
+    from argparse import Namespace
+
+    from dropoutdecoding_tpu.cli import chair_test as cli
+    from dropoutdecoding_tpu.models import llava as llava_mod
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    class _Tok:
+        eos_token_id = 2
+
+    class _Proc:
+        tokenizer = _Tok()
+
+    from dropoutdecoding_tpu.utils import processor as proc_mod
+
+    monkeypatch.setattr(
+        proc_mod.VlmProcessor, "from_checkpoint",
+        staticmethod(lambda path: _Proc()),
+    )
+    monkeypatch.setattr(llava_mod, "load", lambda path, dtype: (cfg, params))
+
+    args = Namespace(
+        model="llava-1.5", model_path="/unused", opera=False, vcd=False,
+        original=False, num_beams=None, avg=False, voting_numbers=3,
+        use_random=False, seed=None, quantize="w8a8", int8_kv=True,
+    )
+    engine, _ = cli.make_engine(args)
+    assert engine.w8a8_prefill is True
+    assert engine.int8_kv is True
+    assert isinstance(engine.params.lm["layers"]["q_proj"], dict)  # int8
+    assert set(engine.params.lm["layers"]["q_proj"]) == {"q", "s"}
+
+    args.quantize = None
+    args.int8_kv = False
+    engine2, _ = cli.make_engine(args)
+    assert engine2.w8a8_prefill is False and engine2.int8_kv is False
+    assert not isinstance(engine2.params.lm["layers"]["q_proj"], dict)
