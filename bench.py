@@ -188,7 +188,10 @@ def time_decode(engine, state, params, overhead=0.0, repeats=2):
         tokens, _ = engine._decode(params, state)
         _fetch(tokens[:, -1])
         best = min(best, time.perf_counter() - t0)
-    n_tokens = engine.gen.max_new_tokens
+    # The dispatch runs max_new_tokens-1 decode steps: tokens_buf[:, 0] is
+    # the prefill's argmax and the while_loop starts at step index 1
+    # (engine/generate.py:472-486).  Divide by the steps actually timed.
+    n_tokens = engine.gen.max_new_tokens - 1
     ov = min(overhead, best / 2)  # never correct away >half the window
     return n_tokens / (best - ov)
 

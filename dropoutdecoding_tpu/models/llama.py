@@ -397,10 +397,17 @@ def decode_step(
     cos, sin = cos[:, None, None, :], sin[:, None, None, :]  # [B,1,1,Dh]
 
     quantized = cache_is_quantized(cache)
+    # The fused Pallas kernels have no GSPMD partitioning rule: under the
+    # documented TP path (parallel/mesh.py NamedSharding inputs, KV heads
+    # sharded on "model") a pl.pallas_call inside the partitioned program
+    # would fail to compile or force full cache replication.  Gate fused
+    # dispatch on single-device execution; multi-device runs keep the XLA
+    # ops, which GSPMD partitions fine.
+    single_device = jax.device_count() == 1
     if quantized:
         from ..ops.attention import ensemble_decode_attention_int8kv
 
-        if H // KH > 1 and Dh % 128 == 0:
+        if single_device and H // KH > 1 and Dh % 128 == 0:
             # GQA (Mistral / LLaVA-NeXT): the XLA path's repeat_kv
             # materializes an n_rep-times bf16 copy of the int8 cache per
             # step; the fused Pallas kernel streams the int8 cache once and
@@ -426,6 +433,7 @@ def decode_step(
 
     if (
         not quantized
+        and single_device
         and H // KH > 1
         and Dh % 128 == 0
         and cache.k.dtype == jnp.bfloat16  # fp32 parity runs keep XLA

@@ -171,9 +171,11 @@ def ensemble_decode_attention_fused(
     v_new: jax.Array,
     key_mask: jax.Array,
 ) -> jax.Array:
-    """Drop-in for ``ops.attention.ensemble_decode_attention`` (bf16/fp32
-    cache) — same one-pass structure as the int8 variant, minus the scale
-    folds.  Worth it for the same reason: XLA's repeat_kv expands the
+    """bf16-only drop-in for ``ops.attention.ensemble_decode_attention``
+    — same one-pass structure as the int8 variant, minus the scale folds.
+    The kernel computes in bfloat16 (fp32 accumulation on the MXU); fp32
+    inputs are rejected rather than silently down-cast, so fp32 parity
+    runs must keep the XLA op (the decode_step dispatch guard does this).  Worth it for the same reason: XLA's repeat_kv expands the
     cache n_rep-times in HBM under GQA (measured 2679 us vs a 133 us read
     floor at B=8, M=9, KH=8, S=3328; 288 us vs 17 us even at B=1, M=4 —
     the default LLaVA-NeXT decode step).
@@ -181,6 +183,12 @@ def ensemble_decode_attention_fused(
     Args: q: [B, M, H, D]; k_cache/v_cache: [B, S, KH, D];
       k_new/v_new: [B, M, KH, D]; key_mask: [B, M, S].
     """
+    if k_cache.dtype != jnp.bfloat16 or q.dtype != jnp.bfloat16:
+        raise TypeError(
+            "ensemble_decode_attention_fused is bf16-only (got q="
+            f"{q.dtype}, cache={k_cache.dtype}); use "
+            "ops.attention.ensemble_decode_attention for fp32 parity runs"
+        )
     B, M, H, D = q.shape
     S, KH = k_cache.shape[1], k_cache.shape[2]
     G = H // KH

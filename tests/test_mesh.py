@@ -317,6 +317,9 @@ def test_tp_decode_collective_budget(tiny):
     assert n_ar >= 4, (n_ar, len(defs))
     # ...and bounded: measured 18 defs total (4 megatron ARs + small
     # vote/argmax/top-k gathers over the vocab-sharded lm_head, all on
-    # KB-scale operands).  A spec mistake that reshards weights or cache
-    # inside the loop produces far more.
-    assert len(defs) <= 24, (n_ar, len(defs), defs[:5])
+    # KB-scale operands).  The exact gather count is toolchain-dependent,
+    # so this is an order-of-magnitude guard, not a pin: a spec mistake
+    # that reshards weights or the cache inside the scan body produces
+    # one collective per weight per layer (hundreds), well past 3x the
+    # measured count.
+    assert len(defs) <= 54, (n_ar, len(defs), defs[:5])
