@@ -357,12 +357,23 @@ def main(args):
     profile_dir = getattr(args, "profile_dir", None)
 
     batch = max(getattr(args, "batch_size", 1) or 1, 1)
-    if batch > 1 and engine.ensemble:
-        # batched data-parallel path, all three model families (identical
-        # prompt => identical merged lengths; the engine's batch axis
-        # shards on the mesh's "data" axis).  LLaVA-NeXT rows carry
-        # per-image tile stacks + original sizes (tile counts padded per
-        # batch, llavanext_engine); InstructBLIP adds Q-Former ids.
+    _use_cd = engine.gen.use_cd
+    _use_beam = not engine.ensemble and engine.gen.num_beams > 1 and not _use_cd
+    if batch > 1 and (_use_cd or _use_beam):
+        # no silent flag semantics (SURVEY §5): these paths run batch-1
+        raise SystemExit(
+            "--batch-size > 1 is not supported with --vcd or --num-beams > 1"
+            " (those baselines run one caption per dispatch); drop"
+            " --batch-size or run the ensemble/--original methods batched"
+        )
+    if batch > 1:
+        # batched data-parallel path: ensemble decoding AND plain greedy
+        # (--original runs the same program with ensemble=False), all three
+        # model families (identical prompt => identical merged lengths; the
+        # engine's batch axis shards on the mesh's "data" axis).  LLaVA-NeXT
+        # rows carry per-image tile stacks + original sizes (tile counts
+        # padded per batch, llavanext_engine); InstructBLIP adds Q-Former
+        # ids.
         import numpy as _np
 
         if model == "llava-next":
