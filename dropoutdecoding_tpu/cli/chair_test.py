@@ -93,11 +93,15 @@ def make_engine(args):
     processor = VlmProcessor.from_checkpoint(args.model_path)
     eos = processor.tokenizer.eos_token_id
     num_beams = args.num_beams if args.num_beams is not None else 1
+    es = getattr(args, "early_stopping", "false")
+    es = "never" if str(es).lower() == "never" else str2bool(es)
     gen = GenerationConfig(
         max_new_tokens=512,
         eos_token_id=eos,
         pad_token_id=eos,
         num_beams=num_beams,
+        length_penalty=getattr(args, "length_penalty", 1.0),
+        early_stopping=es,
         use_cd=str2bool(args.vcd),
     )
     common = dict(
@@ -213,6 +217,8 @@ def run_engine(engine, processor, model, prompt, image):
                 engine,
                 state=engine.prefill(ids, tiles, orig),
                 num_beams=engine.gen.num_beams,
+                length_penalty=engine.gen.length_penalty,
+                early_stopping=engine.gen.early_stopping,
             )
         else:
             result = engine.generate(ids, tiles, orig)
@@ -228,6 +234,8 @@ def run_engine(engine, processor, model, prompt, image):
                     inputs["input_ids"], inputs["pixel_values"], q_ids
                 ),
                 num_beams=engine.gen.num_beams,
+                length_penalty=engine.gen.length_penalty,
+                early_stopping=engine.gen.early_stopping,
             )
         else:
             result = engine.generate(
@@ -247,6 +255,8 @@ def run_engine(engine, processor, model, prompt, image):
                 inputs["input_ids"],
                 inputs["pixel_values"],
                 num_beams=engine.gen.num_beams,
+                length_penalty=engine.gen.length_penalty,
+                early_stopping=engine.gen.early_stopping,
             )
         else:
             result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
@@ -517,6 +527,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--original", type=str2bool, default=False)
     p.add_argument("--num-beams", type=int, default=None)
+    p.add_argument("--length-penalty", type=float, default=1.0)
+    p.add_argument(
+        "--early-stopping",
+        default="false",
+        help="beam stopping rule: true / false / never (HF semantics)",
+    )
     p.add_argument("--sample-save-name", type=str, default="sample.log")
     p.add_argument("--image-numbers", type=int, default=500)
     p.add_argument("--model", type=str, default="llava-1.5")

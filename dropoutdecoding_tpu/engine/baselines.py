@@ -8,10 +8,9 @@ multinomial draw are fused into the same program.
 
 Beam search (the reference's beam baseline is plain HF `num_beams`,
 chair_test.py:295-305): standard batched beam decode — all beams are one
-batch axis, cache rows reordered by a gather at each step.  Finished beams
-propose only EOS continuations with frozen scores (length_penalty 1.0 /
-early_stopping False semantics; matches HF for the greedy-dominant
-captioning regime).
+batch axis, cache rows reordered by a gather at each step.  Supports HF's
+length_penalty and early_stopping (False / True / "never") knobs with
+BeamHypotheses-exact normalization and stopping rules.
 """
 from __future__ import annotations
 
@@ -123,18 +122,35 @@ def vcd_generate(
 # ---------------------------------------------------------------------------
 
 def beam_generate(
-    engine, input_ids=None, pixel_values=None, num_beams: int = 3, state=None
+    engine,
+    input_ids=None,
+    pixel_values=None,
+    num_beams: int = 3,
+    state=None,
+    length_penalty: float = 1.0,
+    early_stopping=False,
 ):
     """Beam-search decode (B=1 prompt).  Pass ``state`` directly for
     engines with non-(ids, pixels) prefill signatures.
 
-    Implements HF BeamSearchScorer semantics (length_penalty=1.0,
-    early_stopping=False): per step the top 2*nb candidates are scanned in
-    score order — EOS candidates with rank < nb become stored hypotheses
-    (without the EOS token appended, normalized by total sequence length),
-    others refill the nb active beams; the search ends when the worst
-    stored hypothesis can no longer be beaten by the best running beam.
+    Implements HF BeamSearchScorer semantics: per step the top 2*nb
+    candidates are scanned in score order — EOS candidates with rank < nb
+    become stored hypotheses (without the EOS token appended, normalized
+    by ``total_seq_len ** length_penalty``, HF BeamHypotheses.add), others
+    refill the nb active beams; the search ends per
+    ``early_stopping``/HF is_done:
+
+    - False (default): worst stored hypothesis beats the best running
+      beam's score normalized at the CURRENT length;
+    - True: nb hypotheses stored;
+    - "never": normalized at max length when length_penalty > 0, else at
+      the current length (HF's exact rule).
     """
+    if early_stopping not in (False, True, "never"):
+        raise ValueError(
+            f"early_stopping must be False, True, or 'never'; got"
+            f" {early_stopping!r}"
+        )
     gen = engine.gen
     if state is None:
         state = engine.prefill(input_ids, pixel_values)
@@ -197,7 +213,7 @@ def beam_generate(
                 s = cand_scores[r]
                 is_eos = t_ == eos
                 # store hypothesis (eos, rank<nb, slots or better than worst)
-                norm = s / seq_len
+                norm = s / seq_len**length_penalty
                 worst = jnp.argmin(hyp_sc)
                 can_store = is_eos & (r < nb)
                 do_store = can_store & ((hcount < nb) | (norm > hyp_sc[worst]))
@@ -244,11 +260,23 @@ def beam_generate(
 
         def cond(carry):
             _, cur, _, step, _, scores, _, hyp_scores, hyp_count = carry
-            # HF is_done (early_stopping=False): worst stored beats the best
-            # running beam's optimistic score sum/cur_len
-            seq_len = (prompt_len + step).astype(jnp.float32)
-            best_running = jnp.max(scores) / seq_len
-            search_done = (hyp_count >= nb) & (jnp.min(hyp_scores) >= best_running)
+            if early_stopping is True:
+                # HF is_done: stop as soon as nb hypotheses exist
+                search_done = hyp_count >= nb
+            else:
+                # worst stored beats the best running beam's optimistic
+                # score; the optimistic normalization length follows HF:
+                # early_stopping=False uses the CURRENT length (a "heuristic"
+                # per HF's own comment), "never" uses max length when
+                # length_penalty > 0 (longer can only score better).
+                if early_stopping == "never" and length_penalty > 0.0:
+                    seq_len = jnp.float32(prompt_len + T)
+                else:
+                    seq_len = (prompt_len + step).astype(jnp.float32)
+                best_running = jnp.max(scores) / seq_len**length_penalty
+                search_done = (hyp_count >= nb) & (
+                    jnp.min(hyp_scores) >= best_running
+                )
             return (step < T) & ~search_done
 
         cur = jnp.full((nb,), cur_len0, jnp.int32)
@@ -270,7 +298,7 @@ def beam_generate(
 
         def add_running(i, st):
             hyp_toks, hyp_sc, hcount = st
-            norm = scores[i] / seq_len
+            norm = scores[i] / seq_len**length_penalty
             worst = jnp.argmin(hyp_sc)
             do = (hcount < nb) & (norm > hyp_sc[worst])
             hyp_toks = jnp.where(do, hyp_toks.at[worst].set(buf[i]), hyp_toks)

@@ -316,6 +316,9 @@ class GenerationConfig:
     eos_token_id: int = 2
     pad_token_id: int = 2
     num_beams: int = 1
+    # HF beam knobs (BeamHypotheses normalization / stopping rules)
+    length_penalty: float = 1.0
+    early_stopping: object = False  # False | True | "never"
     do_sample: bool = False
     temperature: float = 1.0
     top_p: float = 1.0
