@@ -7,16 +7,20 @@ side effect of depressing CIDEr (the IDF corpus shrinks to the chunk;
 SURVEY.md §6 'CIDEr ~ 0 artifact') — so result files remain comparable
 with the archived results/ tree.
 
-SPICE and METEOR substitutions are machine-flagged: Java SPICE (JVM +
-parser models) is unavailable here, so the SPICE column carries the
+When the GENUINE pycocoevalcap stack is importable (package + a JVM for
+the METEOR/SPICE jars), scoring dispatches to it wholesale — same
+COCOEvalCap object the reference drives — and ``_metric_notes`` records
+``scorer: pycocoevalcap``.  Otherwise the lite ports run, and the SPICE /
+METEOR substitutions are machine-flagged: the SPICE column carries the
 SPICE-lite proxy (metrics/spice_lite.py) and every overall dict carries
 ``METRIC_NOTES`` under the ``_metric_notes`` key so downstream consumers
 can tell the columns apart from pycocoevalcap values (VERDICT round-1
-missing item 1).
+missing item 1, round-2 missing item 2).
 """
 from __future__ import annotations
 
 import re
+import shutil
 from collections import defaultdict
 
 import numpy as np
@@ -27,9 +31,8 @@ from .meteor import meteor_lite
 from .rouge import rouge_l
 from .spice_lite import spice_lite
 
-SPICE_AVAILABLE = False  # Java SPICE jar: never available in this build
-
 METRIC_NOTES = {
+    "scorer": "lite-ports",
     "SPICE": (
         "SPICE-lite (stemmed content-word F1 vs union of refs); "
         "Java SPICE unavailable (no JVM)"
@@ -39,6 +42,22 @@ METRIC_NOTES = {
         "paraphrase stages unavailable without corpus data)"
     ),
 }
+
+REAL_METRIC_NOTES = {"scorer": "pycocoevalcap"}
+
+
+def real_evalcap_class():
+    """The genuine ``pycocoevalcap.eval.COCOEvalCap`` when usable, else
+    None.  Usable = the package imports AND a JVM is on PATH (the METEOR
+    and SPICE scorers spawn ``java`` subprocesses; importability alone is
+    not enough).  Probed per call so tests and late installs take effect."""
+    try:
+        from pycocoevalcap.eval import COCOEvalCap  # type: ignore
+    except Exception:
+        return None
+    if shutil.which("java") is None:
+        return None
+    return COCOEvalCap
 
 # Contractions PTB splits into two tokens.  The apostrophe of a
 # contraction survives pycocoevalcap's punctuation removal (its removal
@@ -132,23 +151,36 @@ class CocoCaptionEvaluator:
 def chunked_self_critical_eval(coco, loaded_json: list, chunk: int = 100) -> dict:
     """The reference's chunked evaluation loop (chair_test.py:402-441):
     score `chunk` captions at a time, mean the chunk-level overall scores,
-    and collect per-image dicts (caption attached)."""
+    and collect per-image dicts (caption attached).
+
+    Prefers the genuine pycocoevalcap COCOEvalCap (exactly what the
+    reference drives) whenever its stack is usable; otherwise the lite
+    ports run and are flagged in ``_metric_notes``."""
+    real_cls = real_evalcap_class()
     all_overall = defaultdict(list)
     img_to_eval = {}
     for start in range(0, len(loaded_json), chunk):
         part = loaded_json[start : start + chunk]
         coco_res = coco.loadRes(part)
-        ev = CocoCaptionEvaluator(coco, coco_res)
+        if real_cls is not None:
+            ev = real_cls(coco, coco_res)
+        else:
+            ev = CocoCaptionEvaluator(coco, coco_res)
         ev.params["image_id"] = coco_res.getImgIds()
         ev.evaluate()
         for metric, score in ev.eval.items():
             if metric == "_metric_notes":
                 continue
             all_overall[metric].append(score)
-        for i, iid in enumerate(coco_res.getImgIds()):
-            rec = dict(ev.evalImgs[i])
+        # keyed lookup: the real COCOEvalCap's evalImgs ordering follows
+        # its internal imgToEval dict, not getImgIds()
+        by_id = {e["image_id"]: e for e in ev.evalImgs}
+        for iid in coco_res.getImgIds():
+            rec = dict(by_id[iid])
             rec["caption"] = coco_res.imgToAnns[iid][0]["caption"]
             img_to_eval[iid] = rec
     overall = {m: float(np.mean(s)) for m, s in all_overall.items()}
-    overall["_metric_notes"] = dict(METRIC_NOTES)
+    overall["_metric_notes"] = dict(
+        REAL_METRIC_NOTES if real_cls is not None else METRIC_NOTES
+    )
     return {"overall": overall, "imgToEval": img_to_eval}

@@ -216,3 +216,62 @@ def test_score_reference_answer_files():
     s = score_answers(answers[:n], [q["label"] for q in questions[:n]])
     assert s["TP"] + s["TN"] + s["FP"] + s["FN"] == n
     assert 0.0 <= s["accuracy"] <= 1.0 and 0.0 <= s["f1"] <= 1.0
+
+
+def test_real_pycocoevalcap_preferred_when_usable(monkeypatch):
+    """When the genuine pycocoevalcap stack is importable AND a JVM is on
+    PATH, scoring must dispatch to it wholesale; without it the lite ports
+    run and stay flagged (round-2 verdict missing item 2)."""
+    import shutil
+    import sys
+    import types
+
+    from dropoutdecoding_tpu.evalsuite.metrics import evalcap
+
+    dataset = {
+        "images": [{"id": 1, "file_name": "a.jpg"}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "caption": "a dog runs in the park"},
+        ],
+    }
+    coco = Coco(dataset=dataset)
+    res = [{"image_id": 1, "caption": "a dog runs"}]
+
+    class FakeCOCOEvalCap:
+        instances = 0
+
+        def __init__(self, coco, coco_res):
+            FakeCOCOEvalCap.instances += 1
+            self.coco_res = coco_res
+            self.params = {"image_id": coco_res.getImgIds()}
+
+        def evaluate(self):
+            self.eval = {
+                "Bleu_1": 0.125, "Bleu_2": 0.125, "Bleu_3": 0.125,
+                "Bleu_4": 0.125, "METEOR": 0.125, "ROUGE_L": 0.125,
+                "CIDEr": 0.125, "SPICE": 0.125,
+            }
+            self.evalImgs = [
+                {"image_id": iid, "SPICE": {"All": {"f": 0.125}}}
+                for iid in self.params["image_id"]
+            ]
+
+    pkg = types.ModuleType("pycocoevalcap")
+    mod = types.ModuleType("pycocoevalcap.eval")
+    mod.COCOEvalCap = FakeCOCOEvalCap
+    pkg.eval = mod
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.eval", mod)
+    monkeypatch.setattr(shutil, "which", lambda name: "/usr/bin/java")
+
+    out = chunked_self_critical_eval(coco, res)
+    assert FakeCOCOEvalCap.instances == 1
+    assert out["overall"]["SPICE"] == pytest.approx(0.125)
+    assert out["overall"]["_metric_notes"] == {"scorer": "pycocoevalcap"}
+    assert out["imgToEval"][1]["caption"] == "a dog runs"
+
+    # no JVM on PATH -> importable alone is NOT enough; lite ports run
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    out = chunked_self_critical_eval(coco, res)
+    assert out["overall"]["_metric_notes"]["scorer"] == "lite-ports"
+    assert "SPICE" in out["overall"]["_metric_notes"]
