@@ -65,11 +65,21 @@ def main(args):
     from PIL import Image
 
     question_dir = os.path.join(args.pope_dir, "output", "coco")
-    if str2bool(args.refresh_data) or not os.path.isdir(question_dir):
+    if str2bool(args.refresh_data):
+        # explicit regeneration from COCO instance annotations
+        # (reference pope_metric/main.py flow; needs instances_val2014.json)
         paths = refresh_questions(
             args.coco_data_dir, question_dir, seed=args.seed
         )
         print(f"Question files written: {list(paths.values())}")
+    elif not os.path.isdir(question_dir):
+        # default: seed from the vendored CANONICAL question sets (the
+        # frozen files the reference's answer archives were scored on;
+        # evalsuite/data/pope/PROVENANCE.md) — no COCO annotations needed
+        from ..evalsuite.pope import seed_question_dir
+
+        paths = seed_question_dir(question_dir)
+        print(f"Canonical question files vendored: {paths}")
 
     # pope_test model names: llava-next | llava | instructblip
     # (reference pope_test.py:149-154); map to chair_test naming.

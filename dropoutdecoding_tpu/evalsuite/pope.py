@@ -114,6 +114,30 @@ def co_occurrence(segment_results: list) -> dict:
     }
 
 
+def vendored_question_dir(dataset: str = "coco") -> str:
+    """Directory holding the FROZEN canonical POPE question sets shipped
+    as package data (data/pope/PROVENANCE.md) — the byte-exact files the
+    reference's archived answer sets were scored against, so POPE runs
+    reproduce them without any COCO annotations on disk."""
+    return os.path.join(os.path.dirname(__file__), "data", "pope", dataset)
+
+
+def seed_question_dir(question_dir: str, dataset: str = "coco") -> list:
+    """Populate ``question_dir`` with the vendored canonical question sets.
+    Returns the created file paths."""
+    import shutil
+
+    src_dir = vendored_question_dir(dataset)
+    os.makedirs(question_dir, exist_ok=True)
+    paths = []
+    for strategy in ("random", "popular", "adversarial"):
+        name = f"{dataset}_pope_{strategy}.json"
+        dst = os.path.join(question_dir, name)
+        shutil.copyfile(os.path.join(src_dir, name), dst)
+        paths.append(dst)
+    return paths
+
+
 def write_questions(questions: list, out_dir: str, dataset: str, strategy: str):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{dataset}_pope_{strategy}.json")

@@ -275,3 +275,80 @@ def test_real_pycocoevalcap_preferred_when_usable(monkeypatch):
     out = chunked_self_critical_eval(coco, res)
     assert out["overall"]["_metric_notes"]["scorer"] == "lite-ports"
     assert "SPICE" in out["overall"]["_metric_notes"]
+
+
+def test_vendored_pope_sets_byte_match_reference():
+    """The vendored canonical question sets + companion stats must be
+    byte-identical to the reference's shipped files
+    (pope_metric/output/coco/; round-2 verdict missing item 4)."""
+    from dropoutdecoding_tpu.evalsuite.pope import vendored_question_dir
+
+    ref_dir = os.path.join(REF, "pope_test/pope_metric/output/coco")
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference not mounted")
+    vdir = vendored_question_dir()
+    for name in (
+        "coco_pope_random.json",
+        "coco_pope_popular.json",
+        "coco_pope_adversarial.json",
+        "coco_ground_truth_objects.json",
+        "coco_co_occur.json",
+    ):
+        with open(os.path.join(vdir, name), "rb") as f_v, open(
+            os.path.join(ref_dir, name), "rb"
+        ) as f_r:
+            assert f_v.read() == f_r.read(), name
+
+
+def test_seed_question_dir_needs_no_coco():
+    """POPE questions materialize from package data alone — no
+    instances_val2014.json anywhere (round-2 verdict missing item 4)."""
+    import tempfile
+
+    from dropoutdecoding_tpu.evalsuite.pope import seed_question_dir
+
+    with tempfile.TemporaryDirectory() as qdir:
+        paths = seed_question_dir(qdir)
+        assert len(paths) == 3
+        for p in paths:
+            qs = parse_question_file(p)
+            assert len(qs) >= 3000
+            assert set(qs[0]) >= {"question_id", "image", "text", "label"}
+            labels = {q["label"] for q in qs}
+            assert labels == {"yes", "no"}
+
+
+def test_scorer_reproduces_logged_reference_metrics():
+    """Score the reference's archived answer files (the 1011_llava run)
+    against the question snapshot that run used
+    (pope_samples/20241011_154554 — answers align 3000/3000 with it; the
+    archives do NOT align with the canonical output/coco sets, which were
+    regenerated later) and reproduce the confusion matrices + accuracy
+    printed in pope_logs/1011_llava.log exactly."""
+    afile_dir = os.path.join(REF, "pope_test/pope_metric/answer")
+    snap_dir = os.path.join(REF, "pope_test/pope_samples/20241011_154554/coco")
+    if not (os.path.isdir(afile_dir) and os.path.isdir(snap_dir)):
+        pytest.skip("reference not mounted")
+
+    expected = {
+        # strategy -> (answer archive, TP, FP, TN, FN, accuracy)
+        "adversarial": ("10-11_16-26-46_ans.json", 1382, 587, 913, 118, 0.765),
+        "popular": ("10-11_16-52-16_ans.json", 1390, 378, 1122, 110,
+                    0.8373333333333334),
+        "random": ("10-11_17-17-47_ans.json", 1398, 247, 1253, 102,
+                   0.8836666666666667),
+    }
+    for strategy, (aname, tp, fp, tn, fn, acc) in expected.items():
+        questions = parse_question_file(
+            os.path.join(snap_dir, f"coco_pope_{strategy}.json")
+        )
+        with open(os.path.join(afile_dir, aname)) as f:
+            answers = [json.loads(l) for l in f if l.strip()]
+        assert len(answers) == 3000
+        # order-aligned: the reference harness reads questions in file
+        # order and appends one answer per question
+        for q, a in zip(questions, answers):
+            assert q["text"] == a["question"]
+        s = score_answers(answers, [q["label"] for q in questions])
+        assert (s["TP"], s["FP"], s["TN"], s["FN"]) == (tp, fp, tn, fn)
+        assert s["accuracy"] == pytest.approx(acc, abs=1e-12)

@@ -213,3 +213,83 @@ def test_pope_cli_batched_matches_per_question(
     assert set(seq) == {"random", "popular", "adversarial"}
     for strategy in seq:
         assert seq[strategy] == bat[strategy], strategy
+
+
+def test_pope_cli_vendored_questions_no_coco_annotations(
+    tmp_path, monkeypatch, tiny_llava
+):
+    """Without --refresh-data the CLI seeds its question dir from the
+    VENDORED canonical sets — no instances_val2014.json anywhere (round-2
+    verdict missing item 4).  Only val2014 images for the probed questions
+    need to exist."""
+    import json as _json
+
+    from dropoutdecoding_tpu.cli import chair_test as chair_cli
+    from dropoutdecoding_tpu.cli import pope_test as cli
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.evalsuite.pope import vendored_question_dir
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_make_engine(args):
+        eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=48,
+            ensemble=True,
+        )
+        eng.param_dtype = jnp.float32
+        return eng, _TinyProcessor(cfg)
+
+    monkeypatch.setattr(chair_cli, "make_engine", fake_make_engine)
+
+    # coco dir with ONLY images (no annotations/), named for the first two
+    # questions of each canonical strategy file
+    coco_dir = tmp_path / "coco"
+    (coco_dir / "val2014").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for strategy in ("random", "popular", "adversarial"):
+        with open(
+            os.path.join(vendored_question_dir(), f"coco_pope_{strategy}.json")
+        ) as f:
+            qs = [_json.loads(l) for l in f if l.strip()][:2]
+        for q in qs:
+            p = coco_dir / "val2014" / q["image"]
+            if not p.exists():
+                Image.fromarray(
+                    (rng.random((40, 52, 3)) * 255).astype(np.uint8), "RGB"
+                ).save(p, "JPEG")
+
+    pope_dir = str(tmp_path / "pope_out")
+    args = cli.build_parser().parse_args(
+        [
+            "--model", "llava",
+            "--model-path", "/unused",
+            "--coco-data-dir", str(coco_dir),
+            "--pope-dir", pope_dir,
+            "--number", "2",
+            "--seed", "0",
+        ]
+    )
+    cli.main(args)
+
+    # questions seeded byte-exact from package data
+    qdir = os.path.join(pope_dir, "output", "coco")
+    for strategy in ("random", "popular", "adversarial"):
+        with open(os.path.join(qdir, f"coco_pope_{strategy}.json"), "rb") as f_a:
+            got = f_a.read()
+        with open(
+            os.path.join(vendored_question_dir(), f"coco_pope_{strategy}.json"),
+            "rb",
+        ) as f_b:
+            assert got == f_b.read()
+    # answers produced for all three strategies
+    ans = [
+        f
+        for f in os.listdir(os.path.join(pope_dir, "answer"))
+        if f.endswith("_ans.json")
+    ]
+    assert len(ans) == 3
