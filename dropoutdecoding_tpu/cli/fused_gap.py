@@ -65,7 +65,8 @@ def _build(hidden, layers, vocab, seed):
     return cfg, params
 
 
-def _engine(cfg, params, *, fused, ensemble=True, seed, T):
+def _engine(cfg, params, *, fused, ensemble=True, seed, T,
+            mask_policy="epis"):
     import jax.numpy as jnp
 
     from ..engine.generate import LlavaEngine
@@ -74,7 +75,7 @@ def _engine(cfg, params, *, fused, ensemble=True, seed, T):
     e = LlavaEngine(
         cfg=cfg,
         params=params,
-        ens=EnsembleConfig(fused_step=fused),
+        ens=EnsembleConfig(fused_step=fused, mask_policy=mask_policy),
         gen=GenerationConfig(max_new_tokens=T, eos_token_id=-1, pad_token_id=0),
         max_len=64 + T,
         ensemble=ensemble,
@@ -98,13 +99,16 @@ def _stepper(engine, fused):
     K = engine.ens.k
     Smax = engine.max_len
 
-    def step(params, state, cache, cur_len, token, steps, tm, prev_argmax0):
+    def step(params, state, cache, cur_len, token, steps, tm, prev_argmax0,
+             prev_logits0):
         B = token.shape[0]
         x = llama_mod.embed(params.lm, token)
         base = jnp.arange(Smax)[None, :] < cur_len[:, None]
         if fused:
+            # lagged sources: previous step's unmasked argmax (overlap)
+            # and logits (epis_kl keep-set) — engine _one_step fused mode
             drop = engine._member_drop_slots(
-                state, prev_argmax0, state.last_logits, steps, cur_len, tm
+                state, prev_argmax0, prev_logits0, steps, cur_len, tm
             )
             masks = jnp.concatenate(
                 [base[:, None, :], base[:, None, :] & ~drop], axis=1
@@ -144,13 +148,23 @@ def _stepper(engine, fused):
                 vk, winner[None, :, None, None, None], 2
             )[:, :, 0]
         cache = llama_mod.cache_set_rows(cache, cur_len, kw, vw)
-        return cache, next_token.astype(jnp.int32), winner, argmax0
+        if fused:
+            logits0 = logits_all[:, 0]
+        new_prev_logits0 = (
+            logits0 if engine._lag_kl else prev_logits0
+        )
+        return (cache, next_token.astype(jnp.int32), winner, argmax0,
+                new_prev_logits0)
 
     return jax.jit(step)
 
 
-def _run_with_winners(engine, state, T, fused):
-    """Decode T tokens step by step, returning (tokens, winners)."""
+def _run_with_winners(engine, state, T, fused, step=None):
+    """Decode T tokens step by step, returning (tokens, winners).
+
+    Pass a prebuilt ``step`` (from ``_stepper``) to reuse its compiled
+    program across prompts/runs — at the 7B shape each ``_stepper`` call
+    would otherwise recompile."""
     import jax.numpy as jnp
 
     from ..engine.generate import TextMaskState
@@ -161,15 +175,22 @@ def _run_with_winners(engine, state, T, fused):
         jnp.zeros((B, T), jnp.float32),
         jnp.zeros((B, T), jnp.float32),
     )
-    step = _stepper(engine, fused)
+    if step is None:
+        step = _stepper(engine, fused)
     cache, cur_len = state.cache, state.cur_len
     token = state.first_token
     prev_argmax0 = state.first_token.astype(jnp.int32)
+    prev_logits0 = (
+        state.last_logits
+        if engine._lag_kl
+        else jnp.zeros((B, 1), jnp.float32)
+    )
     tokens, winners = [int(token[0])], []
     for s in range(1, T):
-        cache, token, winner, prev_argmax0 = step(
+        cache, token, winner, prev_argmax0, prev_logits0 = step(
             engine.params, state, cache, cur_len,
             token, jnp.full((B,), s, jnp.int32), tm, prev_argmax0,
+            prev_logits0,
         )
         cur_len = cur_len + 1
         tokens.append(int(token[0]))
@@ -183,7 +204,8 @@ def _agreement(a: np.ndarray, b: np.ndarray) -> dict:
     return {"match_rate": float(eq.mean()), "prefix_len": first_div}
 
 
-def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
+def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0,
+              mask_policy="epis"):
     import jax.numpy as jnp
 
     cfg, params = _build(hidden, layers, vocab, model_seed)
@@ -200,9 +222,12 @@ def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
         px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
         for s in range(n_seeds):
             seed = 24 + 1000 * s
-            exact = _engine(cfg, params, fused=False, seed=seed, T=T)
-            fusedE = _engine(cfg, params, fused=True, seed=seed, T=T)
-            exact2 = _engine(cfg, params, fused=False, seed=seed + 7, T=T)
+            exact = _engine(cfg, params, fused=False, seed=seed, T=T,
+                            mask_policy=mask_policy)
+            fusedE = _engine(cfg, params, fused=True, seed=seed, T=T,
+                             mask_policy=mask_policy)
+            exact2 = _engine(cfg, params, fused=False, seed=seed + 7, T=T,
+                             mask_policy=mask_policy)
             greedy = _engine(cfg, params, fused=False, ensemble=False,
                              seed=seed, T=T)
 
@@ -243,7 +268,8 @@ def run_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     pf = winner_counts["fused"] / max(winner_counts["fused"].sum(), 1)
     return {
         "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
-                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T},
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T,
+                   "mask_policy": mask_policy},
         "exact_vs_fused": summarize("exact_vs_fused"),
         "exact_vs_exact_seed_noise_floor": summarize("exact_vs_exact_seed"),
         "exact_vs_greedy_effect_size": summarize("exact_vs_greedy"),
@@ -397,6 +423,122 @@ def run_w8a8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
+def run_production_study(n_prompts, T, voting_probs, model_seed=0):
+    """Exact-vs-fused semantic gap at EXACT LLaVA-1.5-7B shape — 32
+    layers, h4096, V=32064, ViT-L/336 — with synthetic int8 weights +
+    int8 KV cache, i.e. the deployment configuration the fused-mode
+    headline claims are made for (round-2 verdict: the lag evidence must
+    be at the scale of the claim, reference llava.py:305->345).
+
+    Compile-reuse design: ONE engine per mode; RNG variation for the
+    noise floor goes through ``state.rng_id`` (the engine folds
+    fold_in(fold_in(key(seed), step), rng_id) per draw), so reseeding
+    never recompiles the 7B programs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.generate import LlavaEngine
+    from ..utils.config import EnsembleConfig, GenerationConfig
+    from ..utils.synthetic import synthetic_llava_7b
+
+    cfg, params = synthetic_llava_7b(jax.random.key(model_seed))
+    K = len(voting_probs)
+
+    def mk(fused, ensemble=True):
+        return LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(
+                voting_probs=tuple(voting_probs), fused_step=fused
+            ),
+            gen=GenerationConfig(
+                max_new_tokens=T, eos_token_id=-1, pad_token_id=0
+            ),
+            max_len=608 + T,
+            ensemble=ensemble,
+            seed=24,
+            int8_kv=True,
+        )
+
+    exact = mk(False)
+    fusedE = mk(True)
+    greedy = mk(False, ensemble=False)
+    step_e = _stepper(exact, fused=False)
+    step_f = _stepper(fusedE, fused=True)
+
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+    rows = []
+    wc = {"exact": np.zeros(K), "fused": np.zeros(K)}
+    validated = False
+    for p in range(n_prompts):
+        row = [1] + [int(x) for x in r.integers(4, 30000, 30)] + [5]
+        row[4] = img
+        ids = np.asarray([row], np.int32)
+        px = r.normal(size=(1, 3, 336, 336)).astype(np.float32)
+        st = exact.prefill(ids, px)
+
+        tok_e, win_e = _run_with_winners(exact, st, T, fused=False, step=step_e)
+        tok_f, win_f = _run_with_winners(fusedE, st, T, fused=True, step=step_f)
+        if not validated:
+            # faithfulness: replica == the engine's own while_loop generate
+            np.testing.assert_array_equal(
+                tok_e, np.asarray(exact._decode(exact.params, st)[0])[0]
+            )
+            np.testing.assert_array_equal(
+                tok_f, np.asarray(fusedE._decode(fusedE.params, st)[0])[0]
+            )
+            validated = True
+        # noise floor: identical prompt, independent RNG stream
+        st2 = st._replace(rng_id=st.rng_id + 104729 * (p + 1))
+        tok_e2, _ = _run_with_winners(exact, st2, T, fused=False, step=step_e)
+        tok_g = np.asarray(greedy._decode(greedy.params, st)[0])[0]
+
+        rows.append({
+            "prompt": p,
+            "exact_vs_fused": _agreement(tok_e, tok_f),
+            "exact_vs_exact_seed": _agreement(tok_e, tok_e2),
+            "exact_vs_greedy": _agreement(tok_e, tok_g),
+        })
+        for w in win_e:
+            wc["exact"][w] += 1
+        for w in win_f:
+            wc["fused"][w] += 1
+
+    def summarize(key):
+        m = [r_[key]["match_rate"] for r_ in rows]
+        pl = [r_[key]["prefix_len"] for r_ in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    pe = wc["exact"] / max(wc["exact"].sum(), 1)
+    pf = wc["fused"] / max(wc["fused"].sum(), 1)
+    return {
+        "config": {
+            "shape": "llava-1.5-7b (synthetic int8 weights, int8 KV)",
+            "hidden": cfg.text.hidden_size,
+            "layers": cfg.text.num_hidden_layers,
+            "vocab": cfg.text.vocab_size,
+            "K": K,
+            "voting_probs": list(voting_probs),
+            "prompts": n_prompts,
+            "tokens": T,
+        },
+        "exact_vs_fused": summarize("exact_vs_fused"),
+        "exact_vs_exact_seed_noise_floor": summarize("exact_vs_exact_seed"),
+        "exact_vs_greedy_effect_size": summarize("exact_vs_greedy"),
+        "winner_dist_exact": [round(float(x), 4) for x in pe],
+        "winner_dist_fused": [round(float(x), 4) for x in pf],
+        "winner_tv_distance": round(float(np.abs(pe - pf).sum() / 2), 4),
+    }
+
+
+K8_PROBS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--prompts", type=int, default=4)
@@ -408,34 +550,58 @@ def main(argv=None):
     ap.add_argument(
         "--study",
         default="fused",
-        choices=["fused", "int8", "w8a8"],
+        choices=["fused", "epis_kl", "int8", "w8a8", "production"],
         help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
         "vs int8-weights+cache gap; w8a8: bf16- vs int8-activation "
-        "prefill over identical int8 weights",
+        "prefill over identical int8 weights; production: exact-vs-fused "
+        "at EXACT 7B shape with synthetic int8 weights (run on TPU; "
+        "--k selects the prob ladder)",
+    )
+    ap.add_argument(
+        "--k",
+        type=int,
+        default=3,
+        choices=[3, 8],
+        help="production study only: 3 = the paper's K=3 ladder, "
+        "8 = the K=8 stretch ladder (0.1..0.8)",
     )
     ap.add_argument("--json", action="store_true")
     ap.add_argument(
         "--platform",
         default="cpu",
         choices=["cpu", "default"],
-        help="tiny-model study; cpu avoids tying up the TPU (default: cpu)",
+        help="tiny-model studies; cpu avoids tying up the TPU (the "
+        "production study forces 'default' — it is a TPU measurement)",
     )
     args = ap.parse_args(argv)
 
-    if args.platform == "cpu":
+    if args.platform == "cpu" and args.study != "production":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    study = {
-        "fused": run_study,
-        "int8": run_int8_study,
-        "w8a8": run_w8a8_study,
-    }[args.study]
-    out = study(
-        args.hidden, args.layers, args.vocab,
-        args.prompts, args.seeds, args.tokens,
-    )
+    if args.study == "production":
+        from ..utils.config import EnsembleConfig
+
+        probs = (
+            EnsembleConfig.voting_probs_for(3) if args.k == 3 else K8_PROBS
+        )
+        out = run_production_study(args.prompts, args.tokens, probs)
+    else:
+        import functools
+
+        study = {
+            "fused": run_study,
+            # the lagged-logits fused variant of the KL keep-set policy
+            # (round-2 verdict next-item 9): same harness, policy epis_kl
+            "epis_kl": functools.partial(run_study, mask_policy="epis_kl"),
+            "int8": run_int8_study,
+            "w8a8": run_w8a8_study,
+        }[args.study]
+        out = study(
+            args.hidden, args.layers, args.vocab,
+            args.prompts, args.seeds, args.tokens,
+        )
     if args.json:
         print(json.dumps(out))
     else:

@@ -159,49 +159,71 @@ def main(args):
 
             for start in tqdm(range(0, n, batch)):
                 group = questions[start : min(start + batch, n)]
-                id_rows, q_rows, px_list, tiles, origs = [], [], [], [], []
+                # POPE asks 6 consecutive questions per image: decode +
+                # preprocess + ViT each UNIQUE image once; rows map to
+                # images via image_index (engine.probe gathers features)
+                id_rows, q_rows, image_index = [], [], []
+                uniq_px, uniq_tiles, uniq_origs = [], [], []
+                img_slot = {}
                 for q in group:
-                    image = Image.open(
-                        os.path.join(image_base, q["image"])
-                    ).convert("RGB")
                     prompt = POPE_PROMPTS[args.model].format(q["text"])
-                    if model_key == "llava-next":
-                        id_rows.append(
-                            np.asarray(processor(prompt)["input_ids"])[0]
-                        )
-                        t, o = next_image_prep(engine)(image)
-                        tiles.append(t)
-                        origs.append(o)
-                        continue
-                    e = processor(prompt, image)
+                    if q["image"] not in img_slot:
+                        img_slot[q["image"]] = len(img_slot)
+                        image = Image.open(
+                            os.path.join(image_base, q["image"])
+                        ).convert("RGB")
+                        if model_key == "llava-next":
+                            t, o = next_image_prep(engine)(image)
+                            uniq_tiles.append(t)
+                            uniq_origs.append(o)
+                        else:
+                            uniq_px.append(
+                                np.asarray(processor(prompt, image)["pixel_values"])
+                            )
+                    image_index.append(img_slot[q["image"]])
+                    e = processor(prompt)
                     id_rows.append(np.asarray(e["input_ids"])[0])
-                    px_list.append(np.asarray(e["pixel_values"]))
                     if model_key == "instructblip":
                         q_rows.append(
                             np.asarray(qformer_ids_for(processor, prompt, e))[0]
                         )
-                # static batch: replicate the last row's ALREADY-BUILT
-                # arrays on the tail group (no redundant decode/tiling)
-                for rows in (id_rows, q_rows, px_list, tiles, origs):
+                # static batch: replicate the last ROW on the tail group
+                # (its image is already in the unique set — no extra ViT)
+                n_pad = batch - len(group)
+                for rows in (id_rows, q_rows, image_index):
                     if rows:
-                        rows.extend([rows[-1]] * (batch - len(group)))
+                        rows.extend([rows[-1]] * n_pad)
+                # bucket the unique-image count to a power of two so the
+                # jitted probe sees few distinct U shapes (POPE's 6
+                # questions/image makes U=2 the steady state at batch 8)
+                U = len(img_slot)
+                U_pad = 1 << (U - 1).bit_length()
+                for rows in (uniq_px, uniq_tiles, uniq_origs):
+                    if rows:
+                        rows.extend([rows[-1]] * (U_pad - U))
                 lens = np.array([len(r) for r in id_rows], np.int32)
                 ids, _ = pad_rows(id_rows)
+                image_index = np.asarray(image_index, np.int32)
                 if model_key == "llava-next":
-                    state = engine.prefill(ids, tiles, origs, text_lens=lens)
+                    result = engine.probe(
+                        ids, uniq_tiles, uniq_origs, text_lens=lens,
+                        image_index=image_index,
+                    )
                 elif model_key == "instructblip":
                     # the Q-Former also reads the (variable-length)
                     # question; pads are masked in its attention
                     q_ids, q_mask = pad_rows(q_rows)
-                    state = engine.prefill(
-                        ids, np.concatenate(px_list, 0), q_ids,
+                    result = engine.probe(
+                        ids, np.concatenate(uniq_px, 0), q_ids,
                         text_lens=lens, qformer_attention_mask=q_mask,
+                        image_index=image_index,
                     )
                 else:
-                    state = engine.prefill(
-                        ids, np.concatenate(px_list, 0), text_lens=lens
+                    result = engine.probe(
+                        ids, np.concatenate(uniq_px, 0), text_lens=lens,
+                        image_index=image_index,
                     )
-                toks = np.asarray(state.first_token)
+                toks = np.asarray(result.first_token)
                 for q, t in zip(group, toks):
                     answers.append(
                         {

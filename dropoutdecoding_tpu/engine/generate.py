@@ -25,6 +25,7 @@ round-trips from prompt to final token.
 from __future__ import annotations
 
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -107,6 +108,18 @@ class GenerationResult(NamedTuple):
     num_tokens: np.ndarray  # [B]
 
 
+class ProbeResult(NamedTuple):
+    """Result of the lite ``probe`` prefill: exactly what a 1-token
+    workload (POPE, reference pope_test.py:239-242) consumes.  Skips the
+    [B, N, V] visual-logits table, uncertainty, top-k projection, and the
+    max-len KV-cache materialization the full prefill pays for — none of
+    which can affect the FIRST token (ensemble masking only changes steps
+    after it)."""
+
+    first_token: jax.Array  # [B] greedy token at the prompt's last position
+    last_logits: jax.Array  # [B, V]
+
+
 def kl_logits_or_stub(img_logits: jax.Array, mask_policy: str) -> jax.Array:
     """``epis_kl`` is the only policy that reads the full [B, N, V]
     visual-token logits after prefill (engine _member_drop_slots); for
@@ -173,13 +186,20 @@ class LlavaEngine:
         # layer of every step.  Extra slots sit beyond cur_len and are
         # masked off, so this is semantically free.
         self.max_len = -(-self.max_len // 32) * 32
-        if self.ens.fused_step and self.ens.mask_policy == "epis_kl":
-            raise ValueError(
-                "epis_kl needs the CURRENT step's unmasked logits for its "
-                "KL keep-set; fused mode only has the previous step's — "
-                "use the exact (two-phase) mode for this policy"
-            )
+        # epis_kl under fused mode runs the LAGGED variant: the KL
+        # keep-set reads the previous step's unmasked logits (carried in
+        # the decode loop), the same one-step lag fused mode already
+        # applies to the overlap keep-set.  Gap measured by
+        # cli/fused_gap.py --study epis_kl.
+        # lagged-KL mode: fused epis_kl carries the previous step's
+        # unmasked logits through the decode loop (see _one_step)
+        self._lag_kl = (
+            self.ensemble
+            and self.ens.fused_step
+            and self.ens.mask_policy == "epis_kl"
+        )
         self._prefill = jax.jit(self._prefill_impl)
+        self._probe = jax.jit(functools.partial(self._prefill_impl, probe=True))
         self._decode = jax.jit(self._decode_loop_impl)
 
     @property
@@ -190,20 +210,39 @@ class LlavaEngine:
     # ------------------------------------------------------------------
     # prefill
     # ------------------------------------------------------------------
-    def _prefill_impl(self, params, input_ids, pixel_values, text_lens=None):
+    def _prefill_impl(
+        self,
+        params,
+        input_ids,
+        pixel_values,
+        text_lens=None,
+        image_index=None,
+        probe=False,
+    ):
         """``text_lens`` (optional [B] int32): per-row REAL text length for
         right-padded variable-length batches (e.g. the batched POPE path —
         3,000 different questions).  Right padding is free under causal
         attention: pad positions sit after every real token, so no real
         position attends them during prefill, and decode masks cache slots
         >= cur_len.  Only the last-real-position logits and cur_len need
-        per-row indexing."""
+        per-row indexing.
+
+        ``image_index`` (optional [B] int32): row -> image mapping when
+        ``pixel_values`` holds only the batch's UNIQUE images ([U, ...],
+        U <= B).  The vision tower runs once per image; rows gather their
+        features.  POPE asks 6 consecutive questions per image, so batch-8
+        groups carry ~2 unique images.
+
+        ``probe`` (static): lite mode returning ProbeResult — the 1-token
+        fast path (no uncertainty / top-k / KV-cache materialization)."""
         cfg = self.cfg
         B, S_text = input_ids.shape
         N = cfg.vision.num_patches
         image_pos = llava_mod.find_image_pos(input_ids, cfg.image_token_index)
 
-        feats = llava_mod.image_features(cfg, params, pixel_values)  # [B,N,D]
+        feats = llava_mod.image_features(cfg, params, pixel_values)  # [U,N,D]
+        if image_index is not None:
+            feats = feats[image_index]  # [B, N, D]
         text_embeds = llama_mod.embed(
             params.lm, jnp.where(input_ids == cfg.image_token_index, 0, input_ids)
         )
@@ -214,15 +253,6 @@ class LlavaEngine:
             params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
         )
 
-        # visual-span logits -> uncertainty + top-k projection table
-        # (reference llava.py:310-314, 390-410)
-        def span(h, p):
-            return jax.lax.dynamic_slice_in_dim(h, p, N, axis=0)
-
-        hidden_img = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
-        img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
-        uncert = vision_uncertainty_auto(img_logits)
-        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         if text_lens is None:
             cur_len = jnp.full((B,), S, jnp.int32)
             last_hidden = hidden[:, -1]
@@ -234,6 +264,18 @@ class LlavaEngine:
             )[:, 0]
         last_logits = llama_mod.lm_head(params.lm, last_hidden)  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        if probe:
+            return ProbeResult(first_token=first_token, last_logits=last_logits)
+
+        # visual-span logits -> uncertainty + top-k projection table
+        # (reference llava.py:310-314, 390-410)
+        def span(h, p):
+            return jax.lax.dynamic_slice_in_dim(h, p, N, axis=0)
+
+        hidden_img = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
+        img_logits = llama_mod.lm_head(params.lm, hidden_img)  # [B, N, V] fp32
+        uncert = vision_uncertainty_auto(img_logits)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
 
         cache = llama_mod.empty_cache(
             cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
@@ -359,7 +401,8 @@ class LlavaEngine:
         steps [B] per-row generation index, tokens_buf, done,
         tm: TextMaskState, prev_argmax0)."""
         cfg, ens = self.cfg, self.ens
-        cache, cur_len, token, steps, tokens_buf, done, tm, prev_argmax0 = carry
+        (cache, cur_len, token, steps, tokens_buf, done, tm, prev_argmax0,
+         prev_logits0) = carry
         B = token.shape[0]
         K = ens.k
         Smax = self.max_len
@@ -371,8 +414,10 @@ class LlavaEngine:
             # --- fused mode: ONE width-(K+1) forward; member 0 unmasked,
             # members 1..K masked with the PREVIOUS step's overlap set
             # (one weight stream per token; see EnsembleConfig.fused_step).
+            # epis_kl's keep-set reads the PREVIOUS step's unmasked
+            # logits (lagged variant; other policies ignore the argument)
             drop_slots = self._member_drop_slots(
-                state, prev_argmax0, state.last_logits, steps, cur_len, tm
+                state, prev_argmax0, prev_logits0, steps, cur_len, tm
             )
             masks = jnp.concatenate(
                 [
@@ -455,6 +500,10 @@ class LlavaEngine:
         keep = prev_done | (steps >= T)
         tokens_buf = jnp.where(keep[:, None], tokens_buf, written)
         done = prev_done | (next_token == self.gen.eos_token_id)
+        if self._lag_kl:
+            new_prev_logits0 = logits0
+        else:
+            new_prev_logits0 = prev_logits0  # [B, 1] stub passthrough
         return (
             cache,
             cur_len + jnp.where(prev_done, 0, 1),
@@ -464,6 +513,7 @@ class LlavaEngine:
             done,
             tm,
             argmax0,
+            new_prev_logits0,
         )
 
     def _decode_loop_impl(self, params, state: PrefillState):
@@ -489,6 +539,14 @@ class LlavaEngine:
             # prefill's unmasked argmax == first_token (fused-mode overlap
             # source for the first decode step)
             state.first_token.astype(jnp.int32),
+            # prefill's last logits seed the lagged-KL source; a [B, 1]
+            # stub for every other mode so the loop never carries the
+            # [B, V] buffer it does not read
+            (
+                state.last_logits
+                if self._lag_kl
+                else jnp.zeros((B, 1), jnp.float32)
+            ),
         )
 
         def cond(c):
@@ -510,6 +568,20 @@ class LlavaEngine:
             jnp.asarray(input_ids),
             jnp.asarray(pixel_values),
             None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+        )
+
+    def probe(
+        self, input_ids, pixel_values, text_lens=None, image_index=None
+    ) -> ProbeResult:
+        """1-token fast path (POPE): first_token + last_logits only.
+        ``pixel_values`` may hold just the batch's unique images with
+        ``image_index`` [B] mapping rows to them."""
+        return self._probe(
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(pixel_values),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+            None if image_index is None else jnp.asarray(image_index, jnp.int32),
         )
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:

@@ -41,6 +41,8 @@ class InstructBlipEngine(LlavaEngine):
         qformer_input_ids=None,
         text_lens=None,
         qformer_attention_mask=None,
+        image_index=None,
+        probe=False,
     ):
         """``text_lens`` / ``qformer_attention_mask``: variable-length
         batches (batched POPE).  Visual tokens come first in the merged
@@ -52,7 +54,8 @@ class InstructBlipEngine(LlavaEngine):
         N = cfg.num_query_tokens
 
         visual = ib_mod.visual_tokens(
-            cfg, params, pixel_values, qformer_input_ids, qformer_attention_mask
+            cfg, params, pixel_values, qformer_input_ids,
+            qformer_attention_mask, image_index=image_index,
         )  # [B, N, D]
         text_embeds = llama_mod.embed(params.lm, input_ids)
         merged = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)
@@ -62,9 +65,6 @@ class InstructBlipEngine(LlavaEngine):
             params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
         )
 
-        img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
-        uncert = vision_uncertainty_auto(img_logits)
-        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         if text_lens is None:
             cur_len = jnp.full((B,), S, jnp.int32)
             last_hidden = hidden[:, -1]
@@ -76,6 +76,14 @@ class InstructBlipEngine(LlavaEngine):
             )[:, 0]
         last_logits = llama_mod.lm_head(params.lm, last_hidden)
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        if probe:
+            from .generate import ProbeResult
+
+            return ProbeResult(first_token=first_token, last_logits=last_logits)
+
+        img_logits = llama_mod.lm_head(params.lm, hidden[:, :N])  # [B, N, V]
+        uncert = vision_uncertainty_auto(img_logits)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
 
         cache = llama_mod.empty_cache(
             cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
@@ -115,6 +123,33 @@ class InstructBlipEngine(LlavaEngine):
                 if qformer_attention_mask is None
                 else jnp.asarray(qformer_attention_mask, jnp.int32)
             ),
+        )
+
+    def probe(
+        self,
+        input_ids,
+        pixel_values,
+        qformer_input_ids,
+        text_lens=None,
+        qformer_attention_mask=None,
+        image_index=None,
+    ):
+        """1-token fast path (POPE): first_token + last_logits only.
+        ``pixel_values`` may hold just the batch's unique images with
+        ``image_index`` [B] mapping rows to them (ViT dedupe; the
+        Q-Former still runs per row on the instruction text)."""
+        return self._probe(
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(pixel_values),
+            jnp.asarray(qformer_input_ids),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+            (
+                None
+                if qformer_attention_mask is None
+                else jnp.asarray(qformer_attention_mask, jnp.int32)
+            ),
+            None if image_index is None else jnp.asarray(image_index, jnp.int32),
         )
 
     def generate(self, input_ids, pixel_values, qformer_input_ids=None):

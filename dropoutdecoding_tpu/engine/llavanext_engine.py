@@ -52,7 +52,7 @@ class LlavaNextEngine(LlavaEngine):
 
     def _prefill_impl(
         self, params, input_ids, tile_pixels, gather_idx, valid, image_pos,
-        text_lens=None,
+        text_lens=None, image_index=None, probe=False,
     ):
         """Batched prefill (jit-specialized on (B, T_pad, S_text) only).
 
@@ -68,7 +68,10 @@ class LlavaNextEngine(LlavaEngine):
 
         packed = next_mod.pack_image_features_batched(
             cfg, params, tile_pixels, gather_idx
-        )  # [B, N, D]
+        )  # [U, N, D] (U = unique images when image_index is set, else B)
+        if image_index is not None:
+            packed = packed[image_index]
+            valid = valid[image_index]
         text_embeds = llama_mod.embed(
             params.lm, jnp.where(input_ids == cfg.image_token_index, 0, input_ids)
         )
@@ -85,15 +88,20 @@ class LlavaNextEngine(LlavaEngine):
         def span(h, p):
             return jax.lax.dynamic_slice_in_dim(h, p, N, axis=0)
 
-        img_hidden = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
-        img_logits = llama_mod.lm_head(params.lm, img_hidden)
-        uncert = vision_uncertainty_auto(img_logits)
-        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
         last_hidden = jax.vmap(
             lambda h, l: jax.lax.dynamic_index_in_dim(h, l - 1, 0, keepdims=False)
         )(hidden, real_len)
         last_logits = llama_mod.lm_head(params.lm, last_hidden)  # [B, V]
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        if probe:
+            from .generate import ProbeResult
+
+            return ProbeResult(first_token=first_token, last_logits=last_logits)
+
+        img_hidden = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
+        img_logits = llama_mod.lm_head(params.lm, img_hidden)
+        uncert = vision_uncertainty_auto(img_logits)
+        topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
 
         cache = llama_mod.empty_cache(
             cfg.text, B, self.max_len, self.param_dtype, quantized=self.int8_kv
@@ -114,29 +122,22 @@ class LlavaNextEngine(LlavaEngine):
             uncertainty=uncert,
         )
 
-    def prefill(self, input_ids, tile_pixels, original_size, text_lens=None):
-        """Args:
-          input_ids: [B, S_text] (right-padded; pass text_lens for
-            variable-length rows — the merge compacts per row, so pads
-            land past real_len and are masked like visual padding).
-          tile_pixels: [n_tiles, 3, s, s] for B=1, or a list of B such
-            arrays (per-image tile counts may differ).
-          original_size: (h, w) for B=1, or a list of B (h, w) pairs.
-        """
-        input_ids = np.asarray(input_ids)
-        B = input_ids.shape[0]
-        if B == 1 and not isinstance(original_size, list):
+    def _prep_images(self, tile_pixels, original_size, n_images):
+        """Host-side anyres prep: per-image tile stacks (padded to the
+        group's max tile count) + packing plans."""
+        if n_images == 1 and not isinstance(original_size, list):
             original_size = [tuple(original_size)]
         if not isinstance(tile_pixels, (list, tuple)):
-            tile_pixels = [np.asarray(tile_pixels)] if B == 1 else list(tile_pixels)
-        assert len(tile_pixels) == B and len(original_size) == B, (
-            B, len(tile_pixels), len(original_size),
+            tile_pixels = (
+                [np.asarray(tile_pixels)] if n_images == 1 else list(tile_pixels)
+            )
+        assert len(tile_pixels) == n_images and len(original_size) == n_images, (
+            n_images, len(tile_pixels), len(original_size),
         )
-
         geos = [next_mod.image_geometry(sz, self.cfg) for sz in original_size]
         t_pad = max(g["n_tiles"] for g in geos)
-        tiles, gathers, valids, positions = [], [], [], []
-        for b in range(B):
+        tiles, gathers, valids = [], [], []
+        for b in range(n_images):
             tp = np.asarray(tile_pixels[b])
             assert tp.shape[0] == geos[b]["n_tiles"], (tp.shape, geos[b])
             if tp.shape[0] < t_pad:
@@ -148,17 +149,65 @@ class LlavaNextEngine(LlavaEngine):
             )
             gathers.append(g)
             valids.append(v)
-            positions.append(
-                int(np.argmax(input_ids[b] == self.cfg.image_token_index))
-            )
-        return self._prefill(
-            self.params,
-            jnp.asarray(input_ids),
+        return (
             jnp.asarray(np.stack(tiles)),
             jnp.asarray(np.stack(gathers)),
             jnp.asarray(np.stack(valids)),
-            jnp.asarray(positions, jnp.int32),
+        )
+
+    def _image_positions(self, input_ids):
+        return jnp.asarray(
+            [
+                int(np.argmax(input_ids[b] == self.cfg.image_token_index))
+                for b in range(input_ids.shape[0])
+            ],
+            jnp.int32,
+        )
+
+    def prefill(self, input_ids, tile_pixels, original_size, text_lens=None):
+        """Args:
+          input_ids: [B, S_text] (right-padded; pass text_lens for
+            variable-length rows — the merge compacts per row, so pads
+            land past real_len and are masked like visual padding).
+          tile_pixels: [n_tiles, 3, s, s] for B=1, or a list of B such
+            arrays (per-image tile counts may differ).
+          original_size: (h, w) for B=1, or a list of B (h, w) pairs.
+        """
+        input_ids = np.asarray(input_ids)
+        B = input_ids.shape[0]
+        tiles, gathers, valids = self._prep_images(tile_pixels, original_size, B)
+        return self._prefill(
+            self.params,
+            jnp.asarray(input_ids),
+            tiles,
+            gathers,
+            valids,
+            self._image_positions(input_ids),
             None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+        )
+
+    def probe(
+        self, input_ids, tile_pixels, original_size, text_lens=None,
+        image_index=None,
+    ):
+        """1-token fast path (POPE).  With ``image_index`` [B],
+        ``tile_pixels``/``original_size`` hold only the batch's UNIQUE
+        images — the tile ViT + packing run once per image."""
+        input_ids = np.asarray(input_ids)
+        B = input_ids.shape[0]
+        n_images = B if image_index is None else len(tile_pixels)
+        tiles, gathers, valids = self._prep_images(
+            tile_pixels, original_size, n_images
+        )
+        return self._probe(
+            self.params,
+            jnp.asarray(input_ids),
+            tiles,
+            gathers,
+            valids,
+            self._image_positions(input_ids),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+            None if image_index is None else jnp.asarray(image_index, jnp.int32),
         )
 
     def generate(self, input_ids, tile_pixels, original_size):

@@ -88,10 +88,18 @@ def visual_tokens(
     pixel_values: jax.Array,
     qformer_input_ids: jax.Array,
     qformer_attention_mask: jax.Array | None = None,
+    image_index: jax.Array | None = None,
 ) -> jax.Array:
     """pixels + instruction -> [B, 32, D_lm] projected query outputs
-    (reference instructblip.py:608-633)."""
+    (reference instructblip.py:608-633).
+
+    ``image_index`` ([B] int32, optional): ``pixel_values`` holds only the
+    batch's unique images; the ViT runs once per image and rows gather its
+    embeddings.  The Q-Former still runs per row — it reads the
+    (row-specific) instruction text."""
     image_embeds = blip_vit.apply(cfg.vision, params.vision, pixel_values)
+    if image_index is not None:
+        image_embeds = image_embeds[image_index]
     query_out = qformer.apply(
         cfg.qformer,
         params.qformer,

@@ -135,13 +135,14 @@ def cache_set_rows(
     return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
 
 
-def cache_copy_slot(dst: KVCache, src: KVCache, slot) -> KVCache:
-    """Copy row 0 of ``src`` into row ``slot`` of ``dst`` (serving-layer
-    slot placement).  Both caches must share a leaf layout."""
+def cache_copy_slot(dst: KVCache, src: KVCache, slot, row=0) -> KVCache:
+    """Copy row ``row`` of ``src`` into row ``slot`` of ``dst``
+    (serving-layer slot placement; ``row`` indexes a batched prefill).
+    Both caches must share a leaf layout."""
     assert cache_is_quantized(dst) == cache_is_quantized(src)
 
     def upd(d, s):
-        return d.at[:, slot].set(s[:, 0].astype(d.dtype))
+        return d.at[:, slot].set(s[:, row].astype(d.dtype))
 
     return KVCache(_leaf_map(upd, dst.k, src.k), _leaf_map(upd, dst.v, src.v))
 

@@ -1,0 +1,85 @@
+"""Synthetic production-shape parameters for benchmarks and studies.
+
+No checkpoints exist in this environment, so performance and semantic-gap
+measurements at the REAL 7B shape (bench.py, cli/fused_gap.py --shape 7b)
+run on randomly generated weights at exact production dimensions.  The
+int8 tower is generated directly in the utils/quantize layout so the bf16
+7B tower (13.5 GB) never materializes on a 16 GB chip.
+"""
+from __future__ import annotations
+
+
+def synthetic_int8_lm(cfg, key):
+    """Llama params with the projections + lm_head generated DIRECTLY in
+    int8 ({"q", "s"} utils/quantize layout).  Scales put the dequantized
+    std at a realistic ~0.02."""
+    import jax
+    import jax.numpy as jnp
+
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KH, Dh, L = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+    ks = iter(jax.random.split(key, 16))
+
+    def qmat(shape):
+        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
+        # uniform int8 std ~73.3; scale for weight std ~0.02
+        s = jnp.full(shape[:-2] + (1, shape[-1]), 0.02 / 73.3, jnp.float32)
+        return {"q": q, "s": s}
+
+    layers = {
+        "input_ln": jnp.ones((L, D), jnp.bfloat16),
+        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+        "q_proj": qmat((L, D, H * Dh)),
+        "k_proj": qmat((L, D, KH * Dh)),
+        "v_proj": qmat((L, D, KH * Dh)),
+        "o_proj": qmat((L, H * Dh, D)),
+        "gate_proj": qmat((L, D, I)),
+        "up_proj": qmat((L, D, I)),
+        "down_proj": qmat((L, I, D)),
+    }
+    emb = (
+        0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
+    ).astype(jnp.bfloat16)
+    return {
+        "embed_tokens": emb,
+        "layers": layers,
+        "norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": qmat((D, V)),
+    }
+
+
+def synthetic_llava_7b(key, n_layers=None):
+    """Full synthetic LLaVA-1.5-7B: int8 LM tower + bf16 ViT-L/336 vision
+    and projector at exact production shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import llava as llava_mod
+    from ..models.llava import LlavaParams
+    from ..utils.config import ClipVisionConfig, LlavaConfig
+
+    cfg = LlavaConfig(
+        text=(
+            LlavaConfig().text
+            if n_layers is None
+            else LlavaConfig().text.__class__(num_hidden_layers=n_layers)
+        ),
+        vision=ClipVisionConfig(),
+    )
+    k_lm, k_vis = jax.random.split(jax.random.key(0) if key is None else key)
+    lm = synthetic_int8_lm(cfg.text, k_lm)
+    # vision + projector stay bf16 (one prefill pass; tiny next to the LM)
+    proto = llava_mod.init_params(
+        LlavaConfig(
+            text=cfg.text.__class__(num_hidden_layers=1), vision=cfg.vision
+        ),
+        k_vis,
+        jnp.bfloat16,
+    )
+    params = LlavaParams(vision=proto.vision, projector=proto.projector, lm=lm)
+    return cfg, params

@@ -182,3 +182,52 @@ def test_variable_length_probe_ids_ignore_padding(tiny_llava):
     # without text_lens the pads WOULD be captured — documents the hazard
     raw = np.asarray(extract_probe_ids(jnp.asarray(ids)))
     assert (raw[0] == 0).any()
+
+
+def test_probe_matches_prefill_with_image_dedupe(tiny_llava):
+    """The lite probe path (POPE 1-token fast path) must reproduce the
+    full prefill's first_token/last_logits exactly, both with replicated
+    pixels and with unique-image dedupe via image_index (round-2 verdict
+    weak #2)."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    img = cfg.image_token_index
+
+    rows = [
+        [1, 5, img, 9, 4, 6],
+        [1, 5, img, 9],
+        [1, 7, 8, 5, img, 9, 3],
+        [1, 2, img, 9, 4],
+    ]
+    rng = np.random.default_rng(3)
+    sz = cfg.vision.image_size
+    # 2 unique images for 4 rows (POPE: 6 consecutive questions per image)
+    unique_px = rng.normal(size=(2, 3, sz, sz)).astype(np.float32)
+    image_index = np.array([0, 0, 1, 1], np.int32)
+    full_px = unique_px[image_index]
+    S = max(len(r) for r in rows)
+    ids = np.zeros((4, S), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+
+    ref = eng.prefill(ids, full_px, text_lens=lens)
+    probe = eng.probe(ids, full_px, text_lens=lens)
+    np.testing.assert_array_equal(
+        np.asarray(probe.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(probe.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    deduped = eng.probe(
+        ids, unique_px, text_lens=lens, image_index=image_index
+    )
+    np.testing.assert_array_equal(
+        np.asarray(deduped.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(deduped.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )

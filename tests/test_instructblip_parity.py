@@ -242,3 +242,64 @@ def test_variable_length_batched_prefill_equals_per_row(tiny_instructblip, rng):
             np.asarray(single.last_logits[0]),
             atol=2e-4, rtol=1e-4,
         )
+
+
+def test_probe_matches_prefill_with_image_dedupe(tiny_instructblip, rng):
+    """Lite probe path == full prefill first_token/last_logits, incl. ViT
+    dedupe via image_index (the Q-Former still runs per row on the
+    instruction text)."""
+    _, cfg, params, _ = tiny_instructblip
+    rows = [[1, 9, 21, 33, 40], [1, 11, 23], [1, 13, 25, 37], [1, 8, 9]]
+    q_rows = [[3, 7, 11, 13], [3, 7], [3, 9, 11], [3, 5]]
+    B = len(rows)
+    unique_px = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    image_index = np.array([0, 0, 1, 1], np.int32)
+    pixels = unique_px[image_index]
+
+    e = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis_quantile", topk=10,
+                           mask_accumulate=False),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+        max_len=48,
+        ensemble=True,
+        seed=5217,
+    )
+    e.param_dtype = jnp.float32
+
+    S = max(len(r) for r in rows)
+    Sq = max(len(r) for r in q_rows)
+    ids = np.zeros((B, S), np.int32)
+    q_ids = np.zeros((B, Sq), np.int32)
+    q_mask = np.zeros((B, Sq), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i in range(B):
+        ids[i, : len(rows[i])] = rows[i]
+        q_ids[i, : len(q_rows[i])] = q_rows[i]
+        q_mask[i, : len(q_rows[i])] = 1
+
+    ref = e.prefill(
+        ids, pixels, q_ids, text_lens=lens, qformer_attention_mask=q_mask
+    )
+    probe = e.probe(
+        ids, pixels, q_ids, text_lens=lens, qformer_attention_mask=q_mask
+    )
+    np.testing.assert_array_equal(
+        np.asarray(probe.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(probe.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )
+    deduped = e.probe(
+        ids, unique_px, q_ids, text_lens=lens,
+        qformer_attention_mask=q_mask, image_index=image_index,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(deduped.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(deduped.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )

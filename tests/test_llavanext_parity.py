@@ -308,3 +308,66 @@ def test_variable_length_batched_prefill_equals_per_row(tiny_llava_next):
             np.asarray(single.last_logits[0]),
             atol=2e-4, rtol=1e-4,
         )
+
+
+def test_probe_matches_prefill_with_image_dedupe(tiny_llava_next):
+    """Lite probe == full prefill first_token/last_logits, incl. anyres
+    tile dedupe via image_index (unique images' tile stacks only)."""
+    from PIL import Image
+
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(21)
+    prep = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)
+    # 2 unique images (different tile counts) for 4 rows
+    sizes = [(40, 50), (30, 95)]
+    u_tiles, u_origs = [], []
+    for hw in sizes:
+        img = Image.fromarray(
+            (rng.random(hw + (3,)) * 255).astype(np.uint8), "RGB"
+        )
+        t, o = prep(img)
+        u_tiles.append(t)
+        u_origs.append(o)
+    image_index = np.array([0, 0, 1, 1], np.int32)
+    tiles = [u_tiles[i] for i in image_index]
+    origs = [u_origs[i] for i in image_index]
+
+    rows = [[1, 5, 32, 11, 7], [1, 32, 9], [32, 5, 9, 11], [1, 6, 32]]
+    S = max(len(r) for r in rows)
+    ids = np.zeros((4, S), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+
+    e = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(mask_policy="epis", mask_accumulate=False, topk=10),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=63, pad_token_id=63),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=True,
+        seed=506,
+    )
+    e.param_dtype = jnp.float32
+
+    ref = e.prefill(ids, tiles, origs, text_lens=lens)
+    probe = e.probe(ids, tiles, origs, text_lens=lens)
+    np.testing.assert_array_equal(
+        np.asarray(probe.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(probe.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )
+    deduped = e.probe(
+        ids, u_tiles, u_origs, text_lens=lens, image_index=image_index
+    )
+    np.testing.assert_array_equal(
+        np.asarray(deduped.first_token), np.asarray(ref.first_token)
+    )
+    np.testing.assert_allclose(
+        np.asarray(deduped.last_logits), np.asarray(ref.last_logits),
+        atol=1e-5, rtol=1e-5,
+    )

@@ -112,3 +112,49 @@ def test_server_epis_kl(tiny_llava, rng):
     results = server.run(list(reqs), lambda rid: reqs[rid])
     for rid in reqs:
         np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
+
+
+def test_submit_many_matches_sequential_submit(tiny_llava, rng):
+    """One batched prefill dispatch (submit_many, round-2 verdict weak #6)
+    must produce token-identical generations to per-request submit(),
+    including variable prompt lengths (right-padded + text_lens)."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    reqs = {}
+    for i, tail in enumerate([[11, 13], [11], [7, 13, 5]]):
+        pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+        ids = np.array([[1, 5, 9, 32] + tail])
+        reqs[f"r{i}"] = (ids, pixels)
+
+    seq = DecodeServer(engine=eng, n_slots=4)
+    for rid, args in reqs.items():
+        seq.submit(rid, *args)
+    batched = DecodeServer(engine=eng, n_slots=4)
+    batched.submit_many(list(reqs.items()))
+
+    for _ in range(6):
+        seq.step()
+        batched.step()
+    a = seq.harvest()
+    b = batched.harvest()
+    assert set(a) == set(b) == set(reqs)
+    for rid in reqs:
+        np.testing.assert_array_equal(a[rid], b[rid], err_msg=rid)
+
+
+def test_server_fused_epis_kl_lagged(tiny_llava, rng):
+    """Fused epis_kl (the lagged-logits variant, round-2 verdict item 9)
+    now runs end-to-end: the decode loop and the server carry the previous
+    step's unmasked logits for the KL keep-set; server == solo."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(
+        cfg, params,
+        ens=EnsembleConfig(mask_policy="epis_kl", fused_step=True),
+    )
+    assert eng._lag_kl
+    reqs = _requests(rng, 2)
+    solo = {rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()}
+    server = DecodeServer(engine=eng, n_slots=2)
+    results = server.run(list(reqs), lambda rid: reqs[rid])
+    for rid in reqs:
+        np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
