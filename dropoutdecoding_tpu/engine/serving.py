@@ -8,8 +8,14 @@ ONE jitted decode-step program:
 - ``submit()`` prefills a request (the engine's existing single-request
   prefill program) and scatters its cache/uncertainty state into a free
   slot — requests join mid-flight without recompiling anything;
-- ``step()`` advances every active slot by one token (the engine's
-  ``_one_step`` with per-slot step counters);
+  ``submit_many()`` batches several waiting submissions into ONE prefill
+  dispatch + ONE vectorized placement program (wins when per-dispatch
+  latency dominates, e.g. remote-attached accelerators);
+- ``step(n)`` advances every active slot by ``n`` tokens in one dispatch
+  (a compiled fori_loop over the engine's ``_one_step``) — dispatch
+  granularity is decoupled from token granularity, which is what lets
+  slot-multiplexed serving beat per-request whole-loop generation (2.08x
+  measured at n=8, 8 slots, 16-token captions; bench.py serving line);
 - finished slots are harvested and immediately reusable.
 
 All slot state lives on device; the host sees one small token vector per
@@ -84,10 +90,13 @@ class DecodeServer:
             ),
         )
         self._requests: List[Optional[Any]] = [None] * S
-        self._step_fn = jax.jit(self._step_impl)
+        self._step_fn = jax.jit(self._step_impl, static_argnums=(3,))
         # donate the old slot state/carry: the update would otherwise hold
         # two full copies of the slot cache in HBM transiently
         self._place_fn = jax.jit(self._place_impl, donate_argnums=(0, 1))
+        self._place_many_fn = jax.jit(
+            self._place_many_impl, donate_argnums=(0, 1)
+        )
 
     # ------------------------------------------------------------------
     def free_slots(self) -> List[int]:
@@ -148,6 +157,54 @@ class DecodeServer:
         self._carry.update(new_carry)
         self._requests[slot] = request_id
 
+    def _place_many_impl(self, state, carry, ps, slots):
+        """Place ALL rows of a batched prefill into ``slots`` ([B] int32)
+        — one compiled program for the whole group (vs one per request):
+        every field update is a single vectorized scatter."""
+        eng = self.engine
+        new_state = PrefillState(
+            cache=llama_mod.cache_copy_slots(state.cache, ps.cache, slots),
+            cur_len=state.cur_len.at[slots].set(ps.cur_len),
+            last_logits=state.last_logits.at[slots].set(ps.last_logits),
+            first_token=state.first_token.at[slots].set(ps.first_token),
+            epis=state.epis.at[slots].set(ps.epis),
+            topk_ids=state.topk_ids.at[slots].set(ps.topk_ids),
+            image_logits=(
+                state.image_logits.at[slots].set(ps.image_logits)
+                if self._track_kl
+                else state.image_logits
+            ),
+            image_pos=state.image_pos.at[slots].set(ps.image_pos),
+            visual_mask=state.visual_mask.at[slots].set(ps.visual_mask),
+            probe_ids=state.probe_ids.at[slots].set(ps.probe_ids),
+            rng_id=state.rng_id.at[slots].set(ps.rng_id),
+            uncertainty={},
+        )
+        T = carry["tokens_buf"].shape[1]
+        Bn = ps.first_token.shape[0]
+        first_done = ps.first_token == eng.gen.eos_token_id
+        bufs = jnp.full((Bn, T), eng.gen.pad_token_id, jnp.int32)
+        bufs = bufs.at[:, 0].set(ps.first_token)
+        new_carry = dict(
+            cur_len=carry["cur_len"].at[slots].set(ps.cur_len),
+            token=carry["token"].at[slots].set(ps.first_token),
+            steps=carry["steps"].at[slots].set(1),
+            done=carry["done"].at[slots].set(first_done),
+            tokens_buf=carry["tokens_buf"].at[slots].set(bufs),
+            tm=TextMaskState(
+                carry["tm"].prob.at[slots].set(0.0),
+                carry["tm"].ent.at[slots].set(0.0),
+                carry["tm"].vent.at[slots].set(0.0),
+            ),
+            prev_argmax0=carry["prev_argmax0"].at[slots].set(ps.first_token),
+            prev_logits0=(
+                carry["prev_logits0"].at[slots].set(ps.last_logits)
+                if eng._lag_kl
+                else carry["prev_logits0"]
+            ),
+        )
+        return new_state, new_carry
+
     def submit(self, request_id, *prefill_args) -> int:
         """Prefill one request and place it into a free slot."""
         slots = self.free_slots()
@@ -196,19 +253,34 @@ class DecodeServer:
         ps = ps._replace(
             uncertainty={}, rng_id=jnp.zeros_like(ps.rng_id)
         )
-        used = []
-        for row, (rid, _) in enumerate(items):
-            slot = slots[row]
-            self._place(ps, slot, rid, row=row)
-            used.append(slot)
+        used = slots[: len(items)]
+        self._state, new_carry = self._place_many_fn(
+            self._state, self._carry, ps, jnp.asarray(used, jnp.int32)
+        )
+        self._carry.update(new_carry)
+        for slot, (rid, _) in zip(used, items):
+            self._requests[slot] = rid
         return used
 
     # ------------------------------------------------------------------
-    def _step_impl(self, params, state, carry_tuple):
-        return self.engine._one_step(params, state, carry_tuple)
+    def _step_impl(self, params, state, carry_tuple, n=1):
+        """``n`` decode steps in ONE dispatch (static n -> one compiled
+        fori_loop program).  Per-step host dispatch costs ~20-30 ms on
+        remote-attached accelerators — at n=8 the server pays it once per
+        8 tokens, which is what lets slot-multiplexed serving beat
+        per-request whole-loop generation (requests join on n-step
+        boundaries; done slots no-op inside the loop)."""
+        if n == 1:
+            return self.engine._one_step(params, state, carry_tuple)
+        return jax.lax.fori_loop(
+            0,
+            n,
+            lambda i, c: self.engine._one_step(params, state, c),
+            carry_tuple,
+        )
 
-    def step(self) -> None:
-        """Advance all active slots by one token."""
+    def step(self, n: int = 1) -> None:
+        """Advance all active slots by ``n`` tokens (one dispatch)."""
         c = self._carry
         carry = (
             self._state.cache,
@@ -221,7 +293,7 @@ class DecodeServer:
             c["prev_argmax0"],
             c["prev_logits0"],
         )
-        out = self._step_fn(self.engine.params, self._state, carry)
+        out = self._step_fn(self.engine.params, self._state, carry, n)
         (cache, cur_len, token, steps, tokens_buf, done, tm, prev_argmax0,
          prev_logits0) = out
         self._state = self._state._replace(cache=cache)
@@ -260,7 +332,8 @@ class DecodeServer:
     def active(self) -> int:
         return sum(r is not None for r in self._requests)
 
-    def run(self, requests, prefill_args_fn, max_steps=10_000, batch_prefill=True):
+    def run(self, requests, prefill_args_fn, max_steps=10_000,
+            batch_prefill=True, step_chunk=1):
         """Simple driver: feed `requests` through the slots to completion.
 
         Args:
@@ -269,6 +342,8 @@ class DecodeServer:
           batch_prefill: prefill all waiting submissions in ONE dispatch
             (requires the standard (input_ids, pixel_values) prefill
             signature; set False for other engines).
+          step_chunk: decode steps per dispatch (see ``step``); requests
+            join on chunk boundaries.
         Returns:
           {request id: np.ndarray tokens}
         """
@@ -286,7 +361,7 @@ class DecodeServer:
                 else:
                     for rid in take:
                         self.submit(rid, *prefill_args_fn(rid))
-            self.step()
-            steps += 1
+            self.step(step_chunk)
+            steps += step_chunk
             results.update(self.harvest())
         return results

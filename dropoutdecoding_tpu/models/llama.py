@@ -135,6 +135,18 @@ def cache_set_rows(
     return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
 
 
+def cache_copy_slots(dst: KVCache, src: KVCache, slots) -> KVCache:
+    """Copy all rows of ``src`` into rows ``slots`` ([B] int32) of ``dst``
+    — the batched serving placement (one scatter per leaf instead of one
+    program per request)."""
+    assert cache_is_quantized(dst) == cache_is_quantized(src)
+
+    def upd(d, s):
+        return d.at[:, slots].set(s.astype(d.dtype))
+
+    return KVCache(_leaf_map(upd, dst.k, src.k), _leaf_map(upd, dst.v, src.v))
+
+
 def cache_copy_slot(dst: KVCache, src: KVCache, slot, row=0) -> KVCache:
     """Copy row ``row`` of ``src`` into row ``slot`` of ``dst``
     (serving-layer slot placement; ``row`` indexes a batched prefill).

@@ -158,3 +158,26 @@ def test_server_fused_epis_kl_lagged(tiny_llava, rng):
     results = server.run(list(reqs), lambda rid: reqs[rid])
     for rid in reqs:
         np.testing.assert_array_equal(results[rid], solo[rid], err_msg=rid)
+
+
+def test_step_chunk_matches_per_step(tiny_llava, rng):
+    """Multi-step dispatch (step(n) fori_loop) must be token-identical to
+    n single steps — the dispatch-amortization lever for remote-attached
+    accelerators (round-2 verdict weak #6)."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    reqs = _requests(rng, 2)
+
+    a = DecodeServer(engine=eng, n_slots=2)
+    b = DecodeServer(engine=eng, n_slots=2)
+    for rid, args in reqs.items():
+        a.submit(rid, *args)
+        b.submit(rid, *args)
+    for _ in range(6):
+        a.step()
+    b.step(3)
+    b.step(3)
+    ra, rb = a.harvest(), b.harvest()
+    assert set(ra) == set(rb) == set(reqs)
+    for rid in reqs:
+        np.testing.assert_array_equal(ra[rid], rb[rid], err_msg=rid)
