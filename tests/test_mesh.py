@@ -179,6 +179,12 @@ def _one_step_cache(engine, state):
         jnp.zeros((B,), bool),
         tm,
         state.first_token.astype(jnp.int32),
+        # lagged-KL logits carry ([B, 1] stub outside fused epis_kl)
+        (
+            state.last_logits
+            if engine._lag_kl
+            else jnp.zeros((B, 1), jnp.float32)
+        ),
     )
     out = jax.jit(engine._one_step)(engine.params, state, carry)
     return out[0], np.asarray(out[2])

@@ -186,6 +186,7 @@ def test_int8_kv_engine_end_to_end(rng):
             jnp.zeros((B,), bool),
             tm,
             state.first_token.astype(jnp.int32),
+            jnp.zeros((B, 1), jnp.float32),  # lagged-KL stub
         )
         return engine._one_step(engine.params, state, carry)
 
