@@ -423,7 +423,8 @@ def run_w8a8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
-def run_production_study(n_prompts, T, voting_probs, model_seed=0):
+def run_production_study(n_prompts, T, voting_probs, model_seed=0,
+                         mask_policy="epis"):
     """Exact-vs-fused semantic gap at EXACT LLaVA-1.5-7B shape — 32
     layers, h4096, V=32064, ViT-L/336 — with synthetic int8 weights +
     int8 KV cache, i.e. the deployment configuration the fused-mode
@@ -449,7 +450,9 @@ def run_production_study(n_prompts, T, voting_probs, model_seed=0):
             cfg=cfg,
             params=params,
             ens=EnsembleConfig(
-                voting_probs=tuple(voting_probs), fused_step=fused
+                voting_probs=tuple(voting_probs),
+                fused_step=fused,
+                mask_policy=mask_policy,
             ),
             gen=GenerationConfig(
                 max_new_tokens=T, eos_token_id=-1, pad_token_id=0
@@ -519,6 +522,7 @@ def run_production_study(n_prompts, T, voting_probs, model_seed=0):
     return {
         "config": {
             "shape": "llava-1.5-7b (synthetic int8 weights, int8 KV)",
+            "mask_policy": mask_policy,
             "hidden": cfg.text.hidden_size,
             "layers": cfg.text.num_hidden_layers,
             "vocab": cfg.text.vocab_size,
@@ -565,6 +569,12 @@ def main(argv=None):
         help="production study only: 3 = the paper's K=3 ladder, "
         "8 = the K=8 stretch ladder (0.1..0.8)",
     )
+    ap.add_argument(
+        "--policy",
+        default="epis",
+        help="production study mask policy (epis | epis_kl — the latter "
+        "exercises the lagged-logits fused variant at 7B shape)",
+    )
     ap.add_argument("--json", action="store_true")
     ap.add_argument(
         "--platform",
@@ -586,7 +596,9 @@ def main(argv=None):
         probs = (
             EnsembleConfig.voting_probs_for(3) if args.k == 3 else K8_PROBS
         )
-        out = run_production_study(args.prompts, args.tokens, probs)
+        out = run_production_study(
+            args.prompts, args.tokens, probs, mask_policy=args.policy
+        )
     else:
         import functools
 
