@@ -333,7 +333,51 @@ def prefill(
       key_mask: optional [B, S] padding mask (1 = real token).
     Returns:
       (hidden [B, S, D] final-norm output, KVCache with [L, B, S, KH, Dh]).
+
+    Single-chip TPU batches run row-serial via ``lax.map``: at B >= 2 XLA
+    switches the layer projections to a batch-in-sublanes convolution
+    emitter whose operand relayouts (per-layer weight copies at ~1/10th of
+    HBM speed) and unfused norm intermediates cost ~20% of the scan
+    (profiled at B=8/S=608/full depth: 501 ms batched vs 427 ms mapped,
+    62.6 -> 53.4 ms/row).  Mapping over rows re-runs the B=1 program —
+    the fusion structure the rest of the engine is tuned for — at the
+    price of one [B,L,S,KH,D]->[L,B,S,KH,D] KV transpose.  Mesh (GSPMD)
+    and CPU runs keep the batched program: a scan over a sharded batch
+    axis would force gathers, and XLA:CPU does not exhibit the relayout
+    pathology.
     """
+    B = inputs_embeds.shape[0]
+    if B > 1 and jax.default_backend() == "tpu" and jax.device_count() == 1:
+        if key_mask is None:
+
+            def one(args):
+                xb, pb = args
+                h, kv = _prefill_batched(params, cfg, xb[None], pb[None], None, w8a8)
+                return h[0], kv.k[:, 0], kv.v[:, 0]
+
+            h, ks, vs = jax.lax.map(one, (inputs_embeds, positions))
+        else:
+
+            def one(args):
+                xb, pb, kb = args
+                h, kv = _prefill_batched(
+                    params, cfg, xb[None], pb[None], kb[None], w8a8
+                )
+                return h[0], kv.k[:, 0], kv.v[:, 0]
+
+            h, ks, vs = jax.lax.map(one, (inputs_embeds, positions, key_mask))
+        return h, KVCache(jnp.moveaxis(ks, 0, 1), jnp.moveaxis(vs, 0, 1))
+    return _prefill_batched(params, cfg, inputs_embeds, positions, key_mask, w8a8)
+
+
+def _prefill_batched(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    key_mask: jax.Array | None = None,
+    w8a8: bool = False,
+):
     B, S, D = inputs_embeds.shape
     H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)  # [B, S, Dh]
