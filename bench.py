@@ -835,6 +835,100 @@ def run_once(n_layers):
             f"instructblip POPE line skipped: {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+
+    # int4 weight-only deployment (--quantize int4): group-wise (g=128)
+    # packed 4-bit projections + lm_head, int8 KV.  Decode is HBM-bound on
+    # the weight stream, so halving the int8 stream again is the single
+    # biggest remaining decode lever (~3.5 GB/token vs 6.8).  Runs last:
+    # the int4 tower replaces the freed int8/Mistral weights on the chip.
+    try:
+        import gc
+
+        try:
+            del ieng, iparams, iproto, ilm, r
+        except NameError:
+            pass
+        gc.collect()
+        jax.clear_caches()
+
+        from dropoutdecoding_tpu.utils.synthetic import synthetic_int4_lm
+
+        lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12))
+        proto4 = llava_mod.init_params(
+            LlavaConfig(
+                text=cfg.text.__class__(num_hidden_layers=1), vision=cfg.vision
+            ),
+            jax.random.key(13),
+            jnp.bfloat16,
+        )
+        params4 = LlavaParams(
+            vision=proto4.vision, projector=proto4.projector, lm=lm4
+        )
+        _fetch(params4.lm["norm"])
+
+        def mk4(ensemble, tokens=DECODE_TOKENS, **kw):
+            return LlavaEngine(
+                cfg=cfg,
+                params=params4,
+                ens=EnsembleConfig(),
+                gen=GenerationConfig(
+                    max_new_tokens=tokens, eos_token_id=-1, pad_token_id=0
+                ),
+                max_len=PROMPT_LEN + tokens,
+                ensemble=ensemble,
+                seed=24,
+                int8_kv=True,
+                **kw,
+            )
+
+        g4 = mk4(False)
+        state4 = build_state(g4, cfg, jax.random.key(14))
+        _fetch(state4.first_token)
+        greedy4_tps = time_decode(g4, state4, params4, ov)
+        print(
+            f"int4 greedy: {greedy4_tps:.2f} t/s "
+            f"(= {greedy4_tps / greedy_tps:.2f}x int8 greedy)",
+            file=sys.stderr, flush=True,
+        )
+        del g4
+
+        f4 = mk4(True)
+        f4.ens = _EC(fused_step=True)
+        f4.__post_init__()
+        fused4_tps = time_decode(f4, state4, params4, ov)
+        print(
+            f"int4 ensemble K=3 (fused): {fused4_tps:.2f} t/s "
+            f"(= {greedy4_tps / fused4_tps:.2f}x int4 greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del f4
+
+        k8f4 = mk4(True)
+        k8f4.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
+        k8f4.__post_init__()
+        k8_fused4_tps = time_decode(k8f4, state4, params4, ov)
+        print(
+            f"int4 K=8 single-stream fused: {k8_fused4_tps:.2f} t/s "
+            f"(= {greedy4_tps / k8_fused4_tps:.2f}x int4 greedy latency; "
+            f"{greedy_tps / k8_fused4_tps:.2f}x int8 greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del k8f4
+
+        # int4 roofline: packed weights = 0.5 B/param + fp32 group scales
+        lm_b = _tree_bytes(lm4) - lm4["embed_tokens"].nbytes
+        cache_b = _tree_bytes(state4.cache)
+        sol4 = HBM_BW / (lm_b + cache_b)
+        print(
+            f"int4 roofline: greedy {greedy4_tps:.1f} t/s = "
+            f"{100 * greedy4_tps / sol4:.0f}% of {sol4:.1f} t/s "
+            f"(@ {(lm_b + cache_b) / 1e9:.2f} GB/token)",
+            file=sys.stderr, flush=True,
+        )
+        del state4, params4, lm4, proto4
+        gc.collect()
+    except Exception as e:
+        print(f"int4 section skipped: {type(e).__name__}: {e}", file=sys.stderr)
     return greedy_tps, ens_tps, fused_tps, ref_tps
 
 

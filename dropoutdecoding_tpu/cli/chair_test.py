@@ -115,10 +115,15 @@ def make_engine(args):
     )
 
     def maybe_quantize(params):
-        if getattr(args, "quantize", None) in ("int8", "w8a8"):
+        mode = getattr(args, "quantize", None)
+        if mode in ("int8", "w8a8"):
             from ..utils.quantize import quantize_llama_params
 
             return params._replace(lm=quantize_llama_params(params.lm))
+        if mode == "int4":
+            from ..utils.quantize import quantize_llama_params_int4
+
+            return params._replace(lm=quantize_llama_params_int4(params.lm))
         return params
 
     if model == "llava-1.5":
@@ -584,11 +589,14 @@ def build_parser():
         "--quantize",
         type=str,
         default=None,
-        choices=[None, "int8", "w8a8"],
+        choices=[None, "int8", "w8a8", "int4"],
         help="LM tower quantization: 'int8' = weight-only per-channel "
         "symmetric (~2x decode throughput); 'w8a8' = int8 weights + "
         "on-the-fly int8 activations for PREFILL projections on the "
-        "native int8 MXU (~1.6x prefill rate; decode unchanged)",
+        "native int8 MXU (~1.6x prefill rate; decode unchanged); "
+        "'int4' = weight-only group-wise (g=128) packed 4-bit — halves "
+        "the int8 decode weight stream again (drift measured in "
+        "cli/fused_gap.py --study int4w4)",
     )
     p.add_argument(
         "--int8-kv",

@@ -351,6 +351,88 @@ def run_int8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
+def run_int4_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
+    """int4 (group-wise packed weights + int8 KV) vs full precision AND vs
+    the int8 deployment arm, with the cross-seed noise floor — the quality
+    evidence for --quantize int4 (utils/quantize.quantize_matrix_int4).
+    The int8-vs-int4 comparison isolates the extra drift of dropping from
+    8 to 4 weight bits under the identical cache/config."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from ..utils.quantize import (
+        quantize_llama_params,
+        quantize_llama_params_int4,
+    )
+
+    cfg, params = _build(hidden, layers, vocab, model_seed)
+    g = 128
+    while hidden % (2 * g) or (2 * hidden) % (2 * g):
+        g //= 2
+    q8 = params._replace(lm=quantize_llama_params(params.lm))
+    q4 = params._replace(lm=quantize_llama_params_int4(params.lm, group_size=g))
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+
+    prompts = []
+    for _p in range(n_prompts):
+        ids = np.array(
+            [[1, int(r.integers(3, vocab - 3)), img,
+              int(r.integers(3, vocab - 3)), 5]], np.int32
+        )
+        px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        prompts.append((ids, px))
+
+    def mk(prm, int8_kv, seed, ensemble=True):
+        e = _engine(cfg, prm, fused=False, seed=seed, T=T, ensemble=ensemble)
+        e.int8_kv = int8_kv
+        e.__post_init__()
+        return e
+
+    rows = []
+    for s in range(n_seeds):
+        seed = 24 + 1000 * s
+        arms = {
+            "fp": mk(params, False, seed),
+            "int8": mk(q8, True, seed),
+            "int4": mk(q4, True, seed),
+            "fp_seed2": mk(params, False, seed + 7),
+            "g_fp": mk(params, False, seed, ensemble=False),
+            "g_int4": mk(q4, True, seed, ensemble=False),
+        }
+
+        def gen(e, ids, px):
+            st = e.prefill(ids, px)
+            return np.asarray(e._decode(e.params, st)[0])[0]
+
+        for ids, px in prompts:
+            tok = {name: gen(e, ids, px) for name, e in arms.items()}
+            rows.append({
+                "fp_vs_int4": _agreement(tok["fp"], tok["int4"]),
+                "int8_vs_int4": _agreement(tok["int8"], tok["int4"]),
+                "fp_vs_fp_seed": _agreement(tok["fp"], tok["fp_seed2"]),
+                "greedy_fp_vs_int4": _agreement(tok["g_fp"], tok["g_int4"]),
+            })
+
+    def summarize(key):
+        m = [r[key]["match_rate"] for r in rows]
+        pl = [r[key]["prefix_len"] for r in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    return {
+        "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T,
+                   "int4_group": g},
+        "exact_fp_vs_int4": summarize("fp_vs_int4"),
+        "exact_int8_vs_int4": summarize("int8_vs_int4"),
+        "exact_fp_vs_fp_seed_noise_floor": summarize("fp_vs_fp_seed"),
+        "greedy_fp_vs_int4": summarize("greedy_fp_vs_int4"),
+    }
+
+
 def run_w8a8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     """w8a8 prefill (int8 activations on the int8 MXU) vs bf16-activation
     prefill over IDENTICAL int8 weights — isolates the activation-
@@ -554,7 +636,7 @@ def main(argv=None):
     ap.add_argument(
         "--study",
         default="fused",
-        choices=["fused", "epis_kl", "int8", "w8a8", "production"],
+        choices=["fused", "epis_kl", "int8", "int4", "w8a8", "production"],
         help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
         "vs int8-weights+cache gap; w8a8: bf16- vs int8-activation "
         "prefill over identical int8 weights; production: exact-vs-fused "
@@ -608,6 +690,7 @@ def main(argv=None):
             # (round-2 verdict next-item 9): same harness, policy epis_kl
             "epis_kl": functools.partial(run_study, mask_policy="epis_kl"),
             "int8": run_int8_study,
+            "int4": run_int4_study,
             "w8a8": run_w8a8_study,
         }[args.study]
         out = study(

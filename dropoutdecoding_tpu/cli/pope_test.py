@@ -277,7 +277,7 @@ def build_parser():
         "--quantize",
         type=str,
         default=None,
-        choices=[None, "int8", "w8a8"],
+        choices=[None, "int8", "w8a8", "int4"],
         help="LM tower quantization; 'w8a8' additionally runs prefill "
         "projections on the int8 MXU — the POPE workload is pure prefill "
         "(max_new_tokens=1), so this is its main latency lever (1.41x "

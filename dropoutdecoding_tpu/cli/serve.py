@@ -161,7 +161,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--fused-step", type=str2bool, default=True)
     p.add_argument(
-        "--quantize", type=str, default=None, choices=[None, "int8", "w8a8"]
+        "--quantize", type=str, default=None, choices=[None, "int8", "w8a8", "int4"]
     )
     p.add_argument("--int8-kv", type=str2bool, default=False,
                    help="int8-quantized KV cache for the slot pool")

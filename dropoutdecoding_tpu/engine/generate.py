@@ -198,6 +198,13 @@ class LlavaEngine:
             and self.ens.fused_step
             and self.ens.mask_policy == "epis_kl"
         )
+        # TP: when params were sharded over a ("data", "model") mesh before
+        # construction (parallel/mesh.shard_llava_params), decode_step gets
+        # the mesh so the fused Pallas attention runs head-parallel under
+        # shard_map instead of being gated off multi-device runs.
+        from ..parallel.mesh import mesh_of
+
+        self.tp_mesh = mesh_of(self.params)
         self._prefill = jax.jit(self._prefill_impl)
         self._probe = jax.jit(functools.partial(self._prefill_impl, probe=True))
         self._decode = jax.jit(self._decode_loop_impl)
@@ -428,7 +435,8 @@ class LlavaEngine:
             )  # [B, K+1, Smax]
             xa = jnp.broadcast_to(x[:, None], (B, K + 1, x.shape[-1]))
             ha, ka, va = llama_mod.decode_step(
-                params.lm, cfg.text, xa, cur_len, cache, masks
+                params.lm, cfg.text, xa, cur_len, cache, masks,
+                tp_mesh=self.tp_mesh,
             )
             logits_all = llama_mod.lm_head(params.lm, ha)  # [B, K+1, V]
             logits0 = logits_all[:, 0]
@@ -450,7 +458,8 @@ class LlavaEngine:
         else:
             # --- phase 1: unmasked forward (reference llava.py:294-305) ---
             h0, k0, v0 = llama_mod.decode_step(
-                params.lm, cfg.text, x[:, None], cur_len, cache, base_mask[:, None]
+                params.lm, cfg.text, x[:, None], cur_len, cache,
+                base_mask[:, None], tp_mesh=self.tp_mesh,
             )
             logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]  # [B, V]
             argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
@@ -468,7 +477,8 @@ class LlavaEngine:
                 member_mask = base_mask[:, None, :] & ~drop_slots  # [B,K,Smax]
                 xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
                 hk, kk, vk = llama_mod.decode_step(
-                    params.lm, cfg.text, xk, cur_len, cache, member_mask
+                    params.lm, cfg.text, xk, cur_len, cache, member_mask,
+                    tp_mesh=self.tp_mesh,
                 )
                 logits_k = llama_mod.lm_head(params.lm, hk)  # [B, K, V]
 

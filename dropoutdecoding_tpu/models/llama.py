@@ -253,13 +253,60 @@ def params_from_hf(cfg: LlamaConfig, sd: dict, dtype=jnp.bfloat16, prefix="") ->
 
 
 def _mm(x: jax.Array, w) -> jax.Array:
-    """Matmul dispatching on dense vs int8-quantized ({"q","s"}) weights
-    (utils/quantize.py).  The int8->activation-dtype convert fuses into the
-    MXU feed under XLA, so quantized weights stream half the HBM bytes."""
+    """Matmul dispatching on dense vs quantized weights (utils/quantize.py):
+    {"q","s"} = per-channel int8, {"q4","s4"} = group-wise packed int4.
+    The dequant chains (convert / nibble shifts + group-scale multiply) fuse
+    into the MXU operand feed under XLA, so quantized weights stream half
+    (int8) / a quarter (int4) of the bf16 HBM bytes."""
     if isinstance(w, dict):
+        if "q4" in w:
+            return _mm_int4(x, w)
         y = jnp.einsum("...d,de->...e", x, w["q"].astype(x.dtype))
         return y * w["s"].astype(y.dtype)[0]
     return jnp.einsum("...d,de->...e", x, w)
+
+
+def _mm_int4(x: jax.Array, w: dict, preferred=None) -> jax.Array:
+    """x @ W for packed group-wise int4 W (utils/quantize.quantize_matrix_int4).
+
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas_int4_matmul.py), which streams the packed bytes once and
+    unpacks in VMEM — every XLA-level formulation measured at 7B decode
+    either materializes the dequantized matrix or scalarizes the S4
+    unpack (2.2x / 2.4x / 5.2x SLOWER than int8 weights; kernel header).
+    Other backends use the portable XLA form: byte d of q4 holds
+    contraction rows d (low nibble) and d + D/2 (high), so the product
+    splits into two half-contractions over contiguous activation slices
+    with per-(group, out-channel) scales on the operand."""
+    q, s = w["q4"], w["s4"]
+    D2, E = q.shape[-2], q.shape[-1]
+    n = s.shape[-2]  # total groups across both halves
+    g = (2 * D2) // n
+
+    def _pallas(x):
+        from ..ops.pallas_int4_matmul import int4_matmul
+
+        return int4_matmul(x, q, s, out_dtype=preferred or x.dtype)
+
+    def _xla(x):
+        from ..utils.quantize import unpack_int4
+
+        lo, hi = unpack_int4(q)
+
+        def half(xh, qh, sh):
+            nh = sh.shape[-2]
+            wg = qh.astype(x.dtype).reshape((nh, g, E)) * sh[:, None, :].astype(
+                x.dtype
+            )
+            xg = xh.reshape(xh.shape[:-1] + (nh, g))
+            return jnp.einsum(
+                "...ng,nge->...e", xg, wg, preferred_element_type=preferred
+            )
+
+        y = half(x[..., :D2], lo, s[: n // 2]) + half(x[..., D2:], hi, s[n // 2 :])
+        return y if preferred is None else y.astype(preferred)
+
+    return jax.lax.platform_dependent(x, tpu=_pallas, default=_xla)
 
 
 def embed(params: dict, input_ids: jax.Array) -> jax.Array:
@@ -272,6 +319,10 @@ def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     [D, V] matrix is materialized.  Supports int8-quantized weights."""
     w = params["lm_head"]
     if isinstance(w, dict):
+        if "q4" in w:
+            return _mm_int4(
+                hidden.astype(jnp.bfloat16), w, preferred=jnp.float32
+            )
         y = jnp.einsum(
             "...d,dv->...v",
             hidden.astype(jnp.bfloat16),
@@ -298,7 +349,8 @@ def _mm_w8a8(x: jax.Array, w) -> jax.Array:
     scales fold into the int32 output.  Token-level drift is measured in
     cli/fused_gap.py --study w8a8 (STATUS.md).  Dense (unquantized)
     weights fall back to the bf16 path."""
-    if not isinstance(w, dict):
+    if not isinstance(w, dict) or "q4" in w:
+        # dense weights, or int4 (no native s4 x s8 MXU path): bf16 feed
         return _mm(x, w)
     from ..utils.quantize import quantize_activations
 
@@ -427,6 +479,28 @@ def _prefill_batched(
     return hidden, KVCache(ks, vs)
 
 
+def _tp_attend(fn, mesh, n_cache_args):
+    """Head-parallel shard_map wrapper for the ensemble decode attention
+    ops (XLA or fused Pallas): under TP the cache's KH axis and q's H axis
+    are sharded on "model" (parallel/mesh.py), attention is embarrassingly
+    head-parallel (softmax runs over the UNSHARDED S axis), so each shard
+    computes its local heads with zero collectives.  This is also the
+    GSPMD escape hatch for pl.pallas_call, which has no partitioning rule:
+    inside shard_map the kernel sees local per-device shapes.
+
+    ``n_cache_args``: count of leading [B, ., heads, .]-shaped operands
+    after q (cache leaves + new-token K/V); the trailing operand is the
+    [B, M, S] mask, replicated over "model"."""
+    from jax.sharding import PartitionSpec as P
+
+    head = P("data", None, "model", None)
+    in_specs = (head,) * (1 + n_cache_args) + (P("data", None, None),)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=head, check_vma=False
+    )
+
+
 def decode_step(
     params: dict,
     cfg: LlamaConfig,
@@ -434,6 +508,7 @@ def decode_step(
     position: jax.Array,
     cache: KVCache,
     key_mask: jax.Array,
+    tp_mesh=None,
 ):
     """One-token forward for M ensemble members sharing the canonical cache.
 
@@ -445,6 +520,10 @@ def decode_step(
       cache: canonical KVCache ([L, B, Smax, KH, Dh]).
       key_mask: [B, M, Smax] per-member cache-slot mask (0 = dropped visual
         token or beyond current length).
+      tp_mesh: optional ("data", "model") Mesh when params/cache are
+        TP-sharded (parallel/mesh.py): attention runs head-parallel under
+        shard_map, which keeps the fused Pallas kernels eligible on
+        multi-device runs (a bare pallas_call has no GSPMD rule).
     Returns:
       (hidden [B, M, D], k_new [L, B, M, KH, Dh], v_new [L, B, M, KH, Dh])
     """
@@ -454,17 +533,30 @@ def decode_step(
     cos, sin = cos[:, None, None, :], sin[:, None, None, :]  # [B,1,1,Dh]
 
     quantized = cache_is_quantized(cache)
-    # The fused Pallas kernels have no GSPMD partitioning rule: under the
-    # documented TP path (parallel/mesh.py NamedSharding inputs, KV heads
-    # sharded on "model") a pl.pallas_call inside the partitioned program
-    # would fail to compile or force full cache replication.  Gate fused
-    # dispatch on single-device execution; multi-device runs keep the XLA
-    # ops, which GSPMD partitions fine.
+    # Without a tp_mesh, the fused Pallas kernels are gated to
+    # single-device execution: under the documented TP path
+    # (parallel/mesh.py NamedSharding inputs, KV heads sharded on
+    # "model") a bare pl.pallas_call inside the GSPMD-partitioned program
+    # would fail to compile or force full cache replication.  With a
+    # tp_mesh the shard_map wrapper below restores eligibility (local
+    # shapes per shard); head/batch counts must divide the mesh.
     single_device = jax.device_count() == 1
+    tp_sharded = (
+        tp_mesh is not None
+        and KH % tp_mesh.shape["model"] == 0
+        and H % tp_mesh.shape["model"] == 0
+        and B % tp_mesh.shape["data"] == 0
+    )
+    if tp_sharded:
+        nm = tp_mesh.shape["model"]
+        H_l, KH_l = H // nm, KH // nm  # local head counts per shard
+    else:
+        H_l, KH_l = H, KH
+    fused_ok = (single_device or tp_sharded) and H_l // KH_l > 1 and Dh % 128 == 0
     if quantized:
         from ..ops.attention import ensemble_decode_attention_int8kv
 
-        if single_device and H // KH > 1 and Dh % 128 == 0:
+        if fused_ok:
             # GQA (Mistral / LLaVA-NeXT): the XLA path's repeat_kv
             # materializes an n_rep-times bf16 copy of the int8 cache per
             # step; the fused Pallas kernel streams the int8 cache once and
@@ -485,14 +577,14 @@ def decode_step(
                     default=ensemble_decode_attention_int8kv,
                 )
 
+            if tp_sharded:
+                _int8_attend = _tp_attend(_int8_attend, tp_mesh, 6)
         else:
             _int8_attend = ensemble_decode_attention_int8kv
 
     if (
         not quantized
-        and single_device
-        and H // KH > 1
-        and Dh % 128 == 0
+        and fused_ok
         and cache.k.dtype == jnp.bfloat16  # fp32 parity runs keep XLA
     ):
         # same repeat_kv expansion waste on the dense-cache path (measured
@@ -509,6 +601,8 @@ def decode_step(
                 default=ensemble_decode_attention,
             )
 
+        if tp_sharded:
+            _dense_attend = _tp_attend(_dense_attend, tp_mesh, 4)
     else:
         _dense_attend = ensemble_decode_attention
 

@@ -160,3 +160,28 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
 def data_sharding(mesh: Mesh, *batch_axis_first_shapes):
     """NamedSharding for batch-leading arrays: shard axis 0 on "data"."""
     return NamedSharding(mesh, P("data"))
+
+
+def mesh_of(params) -> Mesh | None:
+    """The ("data", "model") Mesh a parameter tree is placed on, or None.
+
+    Engines auto-detect this at construction (params are sharded BEFORE
+    the engine is built — shard_llava_params) and pass it to
+    models/llama.decode_step so the fused Pallas attention stays eligible
+    under TP via its shard_map wrapper.  Single-device placements return
+    None: the bare-pallas_call fast path needs no wrapper there."""
+    for leaf in jax.tree.leaves(params):
+        sh = getattr(leaf, "sharding", None)
+        mesh = getattr(sh, "mesh", None)
+        if mesh is None:
+            continue
+        names = getattr(mesh, "axis_names", ())
+        devs = getattr(mesh, "devices", None)
+        if (
+            "data" in names
+            and "model" in names
+            and devs is not None
+            and devs.size > 1
+        ):
+            return mesh
+    return None

@@ -66,6 +66,96 @@ def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
     return out
 
 
+INT4_GROUP = 128  # contraction-dim group size (RTN-g128, the standard
+#   weight-only 4-bit operating point); every production in-dim (4096,
+#   11008 = 43*256) is divisible by 2*group so the two packed halves
+#   never straddle a group
+
+
+def quantize_matrix_int4(w: jax.Array, group_size: int = INT4_GROUP) -> dict:
+    """Symmetric group-wise int4, two values packed per int8 byte.
+
+    Decode is HBM-bound on the weight stream; int4 halves the int8 stream
+    again (0.516 bytes/weight incl. fp32 group scales at g=128).  Scheme:
+    round-to-nearest with per-(group, output-channel) scale s = amax/7,
+    values in [-7, 7] — the plain RTN-g128 operating point.
+
+    Packing: byte ``d`` of ``q4`` [.., D/2, E] holds contraction rows
+    ``d`` (low nibble) and ``d + D/2`` (high nibble), so the matmul
+    splits into two half-contractions with NO interleave/concat in the
+    unpack path (models/llama._mm_int4) — both nibbles sign-extend with
+    two arithmetic shifts and every op stays elementwise, which XLA fuses
+    into the MXU operand feed.  Scales: ``s4`` [.., D/group, E] fp32;
+    groups [0, N/2) scale the low half, [N/2, N) the high half.
+    """
+    w32 = w.astype(jnp.float32)
+    D, E = w32.shape[-2], w32.shape[-1]
+    if D % (2 * group_size):
+        raise ValueError(f"in-dim {D} not divisible by 2*group ({2 * group_size})")
+    lead = w32.shape[:-2]
+    n = D // group_size
+    wg = w32.reshape(lead + (n, group_size, E))
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # [.., n, 1, E]
+    s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
+    q = q.reshape(lead + (D, E))
+    lo = q[..., : D // 2, :]
+    hi = q[..., D // 2 :, :]
+    packed = (jnp.left_shift(hi, 4) | (lo & 0x0F)).astype(jnp.int8)
+    return {"q4": packed, "s4": s.reshape(lead + (n, E))}
+
+
+def unpack_int4(packed: jax.Array):
+    """Sign-extended (low, high) nibble planes of an int4-packed matrix."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return lo, hi
+
+
+def dequantize_matrix_int4(wq: dict, dtype=jnp.float32) -> jax.Array:
+    q, s = wq["q4"], wq["s4"]
+    D2, E = q.shape[-2], q.shape[-1]
+    lead = q.shape[:-2]
+    n = s.shape[-2]
+    g2 = (2 * D2) // n  # group_size
+    lo, hi = unpack_int4(q)
+    full = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    fg = full.reshape(lead + (n, g2, E)) * s[..., :, None, :]
+    return fg.reshape(lead + (2 * D2, E)).astype(dtype)
+
+
+def _fit_group(D: int, group_size: int) -> int:
+    """Largest group <= group_size with D % (2*group) == 0 (the packed
+    halves must not straddle a group).  Production in-dims (4096, 11008)
+    take g=128 unchanged; small test towers degrade to finer groups
+    instead of erroring."""
+    g = group_size
+    while g > 1 and D % (2 * g):
+        g //= 2
+    if D % (2 * g):
+        raise ValueError(f"in-dim {D} has no valid int4 group <= {group_size}")
+    return g
+
+
+def quantize_llama_params_int4(
+    params: dict, quantize_lm_head: bool = True, group_size: int = INT4_GROUP
+) -> dict:
+    """int4 variant of quantize_llama_params: per-layer projections (+
+    lm_head) to packed group-wise int4; norms and embeddings stay bf16.
+    Per-matrix the group auto-fits downward (_fit_group) so non-production
+    in-dims quantize at finer granularity instead of raising."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _QUANT_NAMES:
+        w = layers[name]
+        layers[name] = quantize_matrix_int4(w, _fit_group(w.shape[-2], group_size))
+    out["layers"] = layers
+    if quantize_lm_head:
+        w = params["lm_head"]
+        out["lm_head"] = quantize_matrix_int4(w, _fit_group(w.shape[-2], group_size))
+    return out
+
+
 def quantize_activations(x: jax.Array):
     """Per-row (last-axis) symmetric int8 for activations — the "a8" half
     of the w8a8 prefill mode.  Unlike weights (quantized once, offline),

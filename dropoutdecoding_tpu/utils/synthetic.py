@@ -53,9 +53,60 @@ def synthetic_int8_lm(cfg, key):
     }
 
 
-def synthetic_llava_7b(key, n_layers=None):
-    """Full synthetic LLaVA-1.5-7B: int8 LM tower + bf16 ViT-L/336 vision
-    and projector at exact production shapes."""
+def synthetic_int4_lm(cfg, key):
+    """Llama params with projections + lm_head generated DIRECTLY in the
+    packed int4 layout ({"q4", "s4"}, utils/quantize.quantize_matrix_int4):
+    ~3.5 GB at 7B shape, the half-of-int8 decode weight stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from .quantize import INT4_GROUP
+
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KH, Dh, L = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+    ks = iter(jax.random.split(key, 16))
+
+    def qmat(shape):
+        d, e = shape[-2], shape[-1]
+        packed = jax.random.randint(
+            next(ks), shape[:-2] + (d // 2, e), -128, 128, jnp.int8
+        )
+        # uniform nibbles in [-8, 7]: std ~4.6; scale for weight std ~0.02
+        s = jnp.full(
+            shape[:-2] + (d // INT4_GROUP, e), 0.02 / 4.6, jnp.float32
+        )
+        return {"q4": packed, "s4": s}
+
+    layers = {
+        "input_ln": jnp.ones((L, D), jnp.bfloat16),
+        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+        "q_proj": qmat((L, D, H * Dh)),
+        "k_proj": qmat((L, D, KH * Dh)),
+        "v_proj": qmat((L, D, KH * Dh)),
+        "o_proj": qmat((L, H * Dh, D)),
+        "gate_proj": qmat((L, D, I)),
+        "up_proj": qmat((L, D, I)),
+        "down_proj": qmat((L, I, D)),
+    }
+    emb = (
+        0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
+    ).astype(jnp.bfloat16)
+    return {
+        "embed_tokens": emb,
+        "layers": layers,
+        "norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": qmat((D, V)),
+    }
+
+
+def synthetic_llava_7b(key, n_layers=None, weights="int8"):
+    """Full synthetic LLaVA-1.5-7B: int8 (or packed-int4) LM tower + bf16
+    ViT-L/336 vision and projector at exact production shapes."""
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +123,8 @@ def synthetic_llava_7b(key, n_layers=None):
         vision=ClipVisionConfig(),
     )
     k_lm, k_vis = jax.random.split(jax.random.key(0) if key is None else key)
-    lm = synthetic_int8_lm(cfg.text, k_lm)
+    make_lm = {"int8": synthetic_int8_lm, "int4": synthetic_int4_lm}[weights]
+    lm = make_lm(cfg.text, k_lm)
     # vision + projector stay bf16 (one prefill pass; tiny next to the LM)
     proto = llava_mod.init_params(
         LlavaConfig(

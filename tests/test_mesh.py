@@ -329,3 +329,37 @@ def test_tp_decode_collective_budget(tiny):
     # one collective per weight per layer (hundreds), well past 3x the
     # measured count.
     assert len(defs) <= 54, (n_ar, len(defs), defs[:5])
+
+
+def test_tp_fused_eligible_gqa_shardmap_matches_single_device():
+    """TP at PRODUCTION head geometry (Dh=128, GQA H/KH=2): decode_step
+    detects the mesh (engine.tp_mesh via parallel/mesh.mesh_of) and runs
+    the ensemble attention head-parallel inside shard_map — the wrapper
+    that keeps the fused Pallas kernels eligible on multi-device runs
+    (models/llama._tp_attend; on this CPU mesh the platform dispatch
+    resolves to the XLA op, exercising the same specs/local shapes the
+    TPU kernel sees).  Sharded generate must equal the unsharded run."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params
+
+    cfg = _cfg(hidden=512, n_heads=4, n_kv=2)
+    params = llava_mod.init_params(cfg, jax.random.key(3), jnp.float32)
+    qparams = params._replace(lm=quantize_llama_params(params.lm))
+    B = 4
+    input_ids, pixels = _inputs(cfg, B)
+
+    base = _engine(cfg, qparams)
+    base.int8_kv = True
+    base.__post_init__()
+    assert base.tp_mesh is None  # unsharded params: no wrapper
+    ref = base.generate(input_ids, pixels)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    eng = _engine(cfg, shard_llava_params(qparams, mesh))
+    eng.int8_kv = True
+    eng.__post_init__()
+    assert eng.tp_mesh is mesh or eng.tp_mesh.shape == mesh.shape
+    with mesh:
+        state = _sharded_state(eng, mesh, input_ids, pixels)
+        tokens, _ = eng._decode(eng.params, state)
+        tokens = np.asarray(tokens)
+    np.testing.assert_array_equal(tokens, ref.tokens)

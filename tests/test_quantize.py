@@ -199,6 +199,110 @@ def test_int8_kv_engine_end_to_end(rng):
     assert out.tokens.shape == (1, 6)
 
 
+def test_int4_pack_roundtrip_exact(rng):
+    """Packing is lossless: unpack(pack(q)) == q for every nibble value,
+    and dequantization error is bounded by s/2 per element."""
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_matrix_int4,
+        unpack_int4,
+    )
+
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    wq = quantize_matrix_int4(w, group_size=16)
+    assert wq["q4"].dtype == jnp.int8
+    assert wq["q4"].shape == (32, 48)
+    assert wq["s4"].shape == (4, 48)
+    lo, hi = unpack_int4(wq["q4"])
+    assert int(jnp.max(lo)) <= 7 and int(jnp.min(lo)) >= -8
+    assert int(jnp.max(hi)) <= 7 and int(jnp.min(hi)) >= -8
+
+    back = np.asarray(dequantize_matrix_int4(wq))
+    # per-group symmetric int4: |err| <= s/2 = amax_group/14
+    w_np = np.asarray(w).reshape(4, 16, 48)
+    amax = np.abs(w_np).max(axis=1, keepdims=True)
+    err = np.abs(back.reshape(4, 16, 48) - w_np)
+    assert np.all(err <= amax / 14 + 1e-8)
+
+
+def test_int4_mm_matches_dequantized_dense(rng):
+    """_mm on a {"q4","s4"} weight == the dense matmul against its own
+    dequantization (the split-contraction unpack math is exact)."""
+    from dropoutdecoding_tpu.models.llama import _mm
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_matrix_int4,
+    )
+
+    x = jnp.asarray(rng.normal(size=(3, 5, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 80)).astype(np.float32) * 0.05)
+    wq = quantize_matrix_int4(w, group_size=16)
+    ref = np.asarray(_mm(x, dequantize_matrix_int4(wq)))
+    got = np.asarray(_mm(x, wq))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_int4_tower_close_to_dense(rng):
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=8,
+    )
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    params = llama.init_params(cfg, jax.random.key(0), jnp.float32)
+    qparams = quantize_llama_params_int4(params, group_size=16)
+
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 9)))
+    x = llama.embed(params, ids)
+    pos = jnp.arange(9)[None]
+    hidden, _ = llama.prefill(params, cfg, x, pos)
+    qhidden, _ = llama.prefill(qparams, cfg, x, pos)
+
+    logits = np.asarray(llama.lm_head(params, hidden[:, -1]))
+    qlogits = np.asarray(llama.lm_head(qparams, qhidden[:, -1]))
+    # group-wise int4 on RANDOM weights (incompressible — the worst case;
+    # trained weights quantize far better): bounded drift, logits still
+    # essentially the same function
+    rel = np.abs(logits - qlogits) / (np.abs(logits).max() + 1e-6)
+    assert rel.max() < 0.3, rel.max()
+    assert rel.mean() < 0.05, rel.mean()
+    corr = np.corrcoef(logits.ravel(), qlogits.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_int4_decode_runs(rng):
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=8,
+    )
+    params = quantize_llama_params_int4(
+        llama.init_params(cfg, jax.random.key(1), jnp.float32), group_size=16
+    )
+    ids = jnp.asarray(rng.integers(0, 64, size=(1, 5)))
+    x = llama.embed(params, ids)
+    hidden, kv = llama.prefill(params, cfg, x, jnp.arange(5)[None])
+    cache = llama.KVCache.empty(cfg, 1, 16, jnp.float32)
+    cache = llama.KVCache(cache.k.at[:, :, :5].set(kv.k), cache.v.at[:, :, :5].set(kv.v))
+    tok = jnp.argmax(llama.lm_head(params, hidden[:, -1]), -1)
+    mask = jnp.broadcast_to(jnp.arange(16)[None, None, :] < 5, (1, 1, 16))
+    h, k1, v1 = llama.decode_step(
+        params, cfg, llama.embed(params, tok)[:, None], jnp.full((1,), 5), cache, mask
+    )
+    assert h.shape == (1, 1, 32)
+
+
 def test_w8a8_matmul_close_to_dense():
     """_mm_w8a8 (int8 MXU path) vs the dequantized-weight bf16 path: the
     extra error from activation rows being quantized to int8 is bounded
@@ -225,3 +329,31 @@ def test_w8a8_matmul_close_to_dense():
         np.asarray(_mm_w8a8(x, dense), np.float32),
         np.asarray(_mm(x, dense), np.float32),
     )
+
+
+def test_int4_group_autofit(rng):
+    """quantize_llama_params_int4 fits the group per matrix: a tiny tower
+    whose in-dims don't divide 2*128 quantizes at a finer group instead
+    of raising (the --quantize int4 CLI path on non-production shapes)."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=48,
+        intermediate_size=80,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=8,
+    )
+    params = llama.init_params(cfg, jax.random.key(0), jnp.float32)
+    q = quantize_llama_params_int4(params)
+    # hidden 48 = 2*24 -> largest power-of-2 group g with 48 % (2g) == 0 is 8
+    assert q["layers"]["q_proj"]["q4"].shape[-2] == 24
+    assert q["layers"]["q_proj"]["s4"].shape[-2] == 48 // 8
+    # intermediate 80 -> g=8 (80 % 16 == 0)
+    assert q["layers"]["down_proj"]["s4"].shape[-2] == 80 // 8
+    ids = jnp.asarray(rng.integers(0, 64, size=(1, 5)))
+    x = llama.embed(q, ids)
+    hidden, _ = llama.prefill(q, cfg, x, jnp.arange(5)[None])
+    assert hidden.shape == (1, 5, 48)

@@ -153,3 +153,93 @@ def test_engine_gqa_int8_generate_runs(rng):
     px = np.zeros((1, 3, 56, 56), np.float32)
     r = e.generate(ids, px)
     assert r.tokens.shape == (1, 8)
+
+
+@pytest.mark.parametrize(
+    "R,D,E,G",
+    [(4, 512, 384, 128), (3, 4096, 1000, 128), (12, 256, 128, 64)],
+)
+def test_int4_matmul_compiled(rng, R, D, E, G):
+    """Pallas int4 matmul (ops/pallas_int4_matmul.py) vs the bf16 dense
+    product against its own dequantization — compiled on hardware,
+    including a non-128-divisible E edge (block padding)."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_matrix_int4,
+    )
+
+    x = jnp.asarray(rng.normal(size=(R, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(D, E)).astype(np.float32) * 0.05)
+    wq = quantize_matrix_int4(w, group_size=G)
+    ref = np.asarray(
+        (x @ dequantize_matrix_int4(wq, jnp.bfloat16)).astype(jnp.float32)
+    )
+    got = np.asarray(int4_matmul(x, wq["q4"], wq["s4"], out_dtype=jnp.float32))
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(ref - got)) / scale < 1e-2
+
+
+def test_int4_decode_tower_compiled(rng):
+    """Full decode_step through an int4-quantized 2-layer tower on TPU:
+    the {"q4","s4"} dispatch (models/llama._mm_int4 -> Pallas) agrees with
+    the same tower dequantized to bf16 dense."""
+    from dropoutdecoding_tpu.models import llama
+    from dropoutdecoding_tpu.utils.config import LlamaConfig
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_llama_params_int4,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=128,
+    )
+    params = llama.init_params(cfg, jax.random.key(2), jnp.bfloat16)
+    q4 = quantize_llama_params_int4(params)
+
+    def dense_of(p):
+        return jax.tree.map(
+            lambda l: l,
+            {
+                k: (
+                    {
+                        n: (
+                            dequantize_matrix_int4(w, jnp.bfloat16)
+                            if isinstance(w, dict)
+                            else w
+                        )
+                        for n, w in v.items()
+                    }
+                    if k == "layers"
+                    else (
+                        dequantize_matrix_int4(v, jnp.bfloat16)
+                        if isinstance(v, dict)
+                        else v
+                    )
+                )
+                for k, v in p.items()
+            },
+        )
+
+    dense = dense_of(q4)
+    S = 128
+    cache = llama.KVCache.empty(cfg, 1, S, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(1, 1, cfg.hidden_size)), jnp.bfloat16)
+    pos = jnp.zeros((1,), jnp.int32)
+    mask = jnp.ones((1, 1, S), bool)
+    h4, _, _ = jax.jit(llama.decode_step, static_argnums=1)(
+        q4, cfg, x, pos, cache, mask
+    )
+    hd, _, _ = jax.jit(llama.decode_step, static_argnums=1)(
+        dense, cfg, x, pos, cache, mask
+    )
+    l4 = np.asarray(llama.lm_head(q4, h4[:, 0]), np.float32)
+    ld = np.asarray(llama.lm_head(dense, hd[:, 0]), np.float32)
+    scale = np.max(np.abs(ld)) + 1e-9
+    assert np.max(np.abs(l4 - ld)) / scale < 2e-2
