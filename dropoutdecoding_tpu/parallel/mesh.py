@@ -118,6 +118,30 @@ def _apply_specs(tree, specs, mesh):
                 "q": jax.device_put(a["q"], NamedSharding(mesh, s)),
                 "s": jax.device_put(a["s"], NamedSharding(mesh, s_spec)),
             }
+        if isinstance(a, dict) and set(a) == {"q4", "s4"}:
+            # int4-packed weight: byte d of q4 packs contraction rows d and
+            # d + D/2 (utils/quantize.quantize_matrix_int4), so sharding the
+            # packed row axis (row-parallel o_proj/down_proj) would split
+            # group/scale correspondence incoherently.  Column-parallel
+            # (spec ends in "model") shards the OUTPUT axis of both q4 and
+            # s4 — the packing is untouched; row-parallel int4 weights stay
+            # replicated (int4 is primarily the single-chip deployment
+            # tier; replication costs ~1 GB at 7B and only redundant
+            # compute under TP).
+            if s and s[-1] == "model":
+                col = NamedSharding(mesh, s)
+                s4_spec = NamedSharding(
+                    mesh, P(*([None] * (a["s4"].ndim - 1) + ["model"]))
+                )
+                return {
+                    "q4": jax.device_put(a["q4"], col),
+                    "s4": jax.device_put(a["s4"], s4_spec),
+                }
+            rep = NamedSharding(mesh, P())
+            return {
+                "q4": jax.device_put(a["q4"], rep),
+                "s4": jax.device_put(a["s4"], rep),
+            }
         return jax.device_put(a, NamedSharding(mesh, s))
 
     return jax.tree.map(
@@ -126,7 +150,7 @@ def _apply_specs(tree, specs, mesh):
         specs,
         is_leaf=lambda x: (
             isinstance(x, jax.Array)
-            or (isinstance(x, dict) and set(x) == {"q", "s"})
+            or (isinstance(x, dict) and set(x) in ({"q", "s"}, {"q4", "s4"}))
             or hasattr(x, "shape")
         ),
     )

@@ -363,3 +363,30 @@ def test_tp_fused_eligible_gqa_shardmap_matches_single_device():
         tokens, _ = eng._decode(eng.params, state)
         tokens = np.asarray(tokens)
     np.testing.assert_array_equal(tokens, ref.tokens)
+
+
+def test_tp_int4_generate_matches_single_device(tiny):
+    """int4-packed weights under TP (parallel/mesh._apply_specs {q4,s4}
+    handling: column-parallel output-axis sharding, row-parallel
+    replication — the packed row axis can't shard coherently): sharded
+    ensemble generate == unsharded int4 run."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    cfg, params = tiny
+    qparams = params._replace(lm=quantize_llama_params_int4(params.lm))
+    B = 2
+    input_ids, pixels = _inputs(cfg, B)
+
+    base = _engine(cfg, qparams)
+    ref_out = base.generate(input_ids, pixels)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp = shard_llava_params(qparams, mesh)
+    # column-parallel q4 sharded on output axis; row-parallel replicated
+    assert sp.lm["layers"]["q_proj"]["q4"].sharding.spec[-1] == "model"
+    assert sp.lm["layers"]["o_proj"]["q4"].sharding.spec == P()
+    eng = _engine(cfg, sp)
+    with mesh:
+        state = _sharded_state(eng, mesh, input_ids, pixels)
+        tokens, _ = eng._decode(eng.params, state)
+    np.testing.assert_array_equal(np.asarray(tokens), ref_out.tokens)
