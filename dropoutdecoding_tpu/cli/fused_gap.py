@@ -622,6 +622,98 @@ def run_production_study(n_prompts, T, voting_probs, model_seed=0,
     }
 
 
+def run_int4_production_study(n_prompts, T, voting_probs, model_seed=0):
+    """int8-vs-int4 token drift at EXACT LLaVA-1.5-7B shape, both towers
+    quantized from the SAME synthetic bf16 base (utils/synthetic.
+    synthetic_llava_7b_dual) with int8 KV in both arms — isolates the
+    8->4 weight-bit drop at the scale the --quantize int4 flag deploys.
+    Random weights are the incompressible worst case for RTN; trained
+    checkpoints quantize far better, so these are pessimistic bounds.
+    Compile-reuse mirrors run_production_study (rng_id, not reseed)."""
+    import jax
+
+    from ..engine.generate import LlavaEngine
+    from ..utils.config import EnsembleConfig, GenerationConfig
+    from ..utils.synthetic import synthetic_llava_7b_dual
+
+    cfg, p8, p4 = synthetic_llava_7b_dual(jax.random.key(model_seed))
+    K = len(voting_probs)
+
+    def mk(params, ensemble=True):
+        return LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(voting_probs=tuple(voting_probs)),
+            gen=GenerationConfig(
+                max_new_tokens=T, eos_token_id=-1, pad_token_id=0
+            ),
+            max_len=608 + T,
+            ensemble=ensemble,
+            seed=24,
+            int8_kv=True,
+        )
+
+    e8, e4 = mk(p8), mk(p4)
+    g8, g4 = mk(p8, ensemble=False), mk(p4, ensemble=False)
+    step8 = _stepper(e8, fused=False)
+    step4 = _stepper(e4, fused=False)
+
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+    rows = []
+    wc = {"int8": np.zeros(K), "int4": np.zeros(K)}
+    for p in range(n_prompts):
+        row = [1] + [int(x) for x in r.integers(4, 30000, 30)] + [5]
+        row[4] = img
+        ids = np.asarray([row], np.int32)
+        px = r.normal(size=(1, 3, 336, 336)).astype(np.float32)
+        st8 = e8.prefill(ids, px)
+        st4 = e4.prefill(ids, px)
+
+        tok8, win8 = _run_with_winners(e8, st8, T, fused=False, step=step8)
+        tok4, win4 = _run_with_winners(e4, st4, T, fused=False, step=step4)
+        # noise floor: int8 arm, identical prompt, independent RNG stream
+        st8b = st8._replace(rng_id=st8.rng_id + 104729 * (p + 1))
+        tok8b, _ = _run_with_winners(e8, st8b, T, fused=False, step=step8)
+        tg8 = np.asarray(g8._decode(g8.params, st8)[0])[0]
+        tg4 = np.asarray(g4._decode(g4.params, st4)[0])[0]
+
+        rows.append({
+            "int8_vs_int4": _agreement(tok8, tok4),
+            "int8_vs_int8_seed": _agreement(tok8, tok8b),
+            "greedy_int8_vs_int4": _agreement(tg8, tg4),
+        })
+        for w in win8:
+            wc["int8"][w] += 1
+        for w in win4:
+            wc["int4"][w] += 1
+
+    def summarize(key):
+        m = [r_[key]["match_rate"] for r_ in rows]
+        pl = [r_[key]["prefix_len"] for r_ in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    pe = wc["int8"] / max(wc["int8"].sum(), 1)
+    pf = wc["int4"] / max(wc["int4"].sum(), 1)
+    return {
+        "config": {
+            "shape": "llava-1.5-7b (paired int8/int4 from one bf16 base, int8 KV)",
+            "K": K,
+            "voting_probs": list(voting_probs),
+            "prompts": n_prompts,
+            "tokens": T,
+        },
+        "exact_int8_vs_int4": summarize("int8_vs_int4"),
+        "int8_seed_noise_floor": summarize("int8_vs_int8_seed"),
+        "greedy_int8_vs_int4": summarize("greedy_int8_vs_int4"),
+        "winner_tv_distance": round(float(np.abs(pe - pf).sum() / 2), 4),
+    }
+
+
 K8_PROBS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 
 
@@ -636,12 +728,14 @@ def main(argv=None):
     ap.add_argument(
         "--study",
         default="fused",
-        choices=["fused", "epis_kl", "int8", "int4", "w8a8", "production"],
+        choices=["fused", "epis_kl", "int8", "int4", "w8a8", "production",
+                 "int4prod"],
         help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
         "vs int8-weights+cache gap; w8a8: bf16- vs int8-activation "
         "prefill over identical int8 weights; production: exact-vs-fused "
         "at EXACT 7B shape with synthetic int8 weights (run on TPU; "
-        "--k selects the prob ladder)",
+        "--k selects the prob ladder); int4prod: int8-vs-int4 drift at 7B "
+        "shape, both towers from one bf16 base (run on TPU)",
     )
     ap.add_argument(
         "--k",
@@ -667,12 +761,19 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    if args.platform == "cpu" and args.study != "production":
+    if args.platform == "cpu" and args.study not in ("production", "int4prod"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.study == "production":
+    if args.study == "int4prod":
+        from ..utils.config import EnsembleConfig
+
+        probs = (
+            EnsembleConfig.voting_probs_for(3) if args.k == 3 else K8_PROBS
+        )
+        out = run_int4_production_study(args.prompts, args.tokens, probs)
+    elif args.study == "production":
         from ..utils.config import EnsembleConfig
 
         probs = (

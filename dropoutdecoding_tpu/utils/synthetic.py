@@ -135,3 +135,99 @@ def synthetic_llava_7b(key, n_layers=None, weights="int8"):
     )
     params = LlavaParams(vision=proto.vision, projector=proto.projector, lm=lm)
     return cfg, params
+
+
+def synthetic_llava_7b_dual(key, n_layers=None):
+    """(cfg, params_int8, params_int4) with both LM towers quantized from
+    the SAME synthetic bf16 base — the paired-arm input for
+    production-shape quantization drift studies (cli/fused_gap.py
+    --study int4prod).  The base is generated and quantized LAYER-BY-LAYER
+    on device (one [D, E] fp32 matrix transient at a time), so the 13.5 GB
+    bf16 7B tower is never resident; both quantized towers (~6.7 + ~3.5 GB)
+    plus the shared bf16 vision/projector/embeddings fit a 16 GB chip."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import llava as llava_mod
+    from ..models.llava import LlavaParams
+    from ..utils.config import ClipVisionConfig, LlavaConfig
+    from .quantize import quantize_matrix, quantize_matrix_int4
+
+    cfg = LlavaConfig(
+        text=(
+            LlavaConfig().text
+            if n_layers is None
+            else LlavaConfig().text.__class__(num_hidden_layers=n_layers)
+        ),
+        vision=ClipVisionConfig(),
+    )
+    t = cfg.text
+    D, I, V = t.hidden_size, t.intermediate_size, t.vocab_size
+    H, KH, Dh, L = (
+        t.num_attention_heads,
+        t.num_key_value_heads,
+        t.head_dim,
+        t.num_hidden_layers,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("d", "e"))
+    def _dual_one(k, d, e):
+        w = jax.random.normal(k, (d, e), jnp.float32) * 0.02
+        return quantize_matrix(w), quantize_matrix_int4(w)
+
+    k_lm, k_vis, k_emb = jax.random.split(
+        jax.random.key(0) if key is None else key, 3
+    )
+    names = {
+        "q_proj": (D, H * Dh),
+        "k_proj": (D, KH * Dh),
+        "v_proj": (D, KH * Dh),
+        "o_proj": (H * Dh, D),
+        "gate_proj": (D, I),
+        "up_proj": (D, I),
+        "down_proj": (I, D),
+    }
+    keys = jax.random.split(k_lm, len(names) * L + 1)
+    l8, l4 = {}, {}
+    for i, (name, (d, e)) in enumerate(names.items()):
+        q8s, q4s = [], []
+        for li in range(L):
+            q8, q4 = _dual_one(keys[i * L + li], d, e)
+            q8s.append(q8)
+            q4s.append(q4)
+        l8[name] = {n: jnp.stack([x[n] for x in q8s]) for n in q8s[0]}
+        l4[name] = {n: jnp.stack([x[n] for x in q4s]) for n in q4s[0]}
+    head8, head4 = _dual_one(keys[-1], D, V)
+
+    emb = (0.02 * jax.random.normal(k_emb, (V, D), jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    norms = {
+        "input_ln": jnp.ones((L, D), jnp.bfloat16),
+        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+    }
+    proto = llava_mod.init_params(
+        LlavaConfig(
+            text=t.__class__(num_hidden_layers=1), vision=cfg.vision
+        ),
+        k_vis,
+        jnp.bfloat16,
+    )
+
+    def pack(layers_q, head):
+        return {
+            "embed_tokens": emb,
+            "layers": {**norms, **layers_q},
+            "norm": jnp.ones((D,), jnp.bfloat16),
+            "lm_head": head,
+        }
+
+    return (
+        cfg,
+        LlavaParams(vision=proto.vision, projector=proto.projector,
+                    lm=pack(l8, head8)),
+        LlavaParams(vision=proto.vision, projector=proto.projector,
+                    lm=pack(l4, head4)),
+    )
