@@ -660,13 +660,15 @@ def run_int4_production_study(n_prompts, T, voting_probs, model_seed=0):
 
     r = np.random.default_rng(model_seed)
     img = cfg.image_token_index
+    hi_id = min(30000, cfg.text.vocab_size - 3)
+    px_hw = cfg.vision.image_size
     rows = []
     wc = {"int8": np.zeros(K), "int4": np.zeros(K)}
     for p in range(n_prompts):
-        row = [1] + [int(x) for x in r.integers(4, 30000, 30)] + [5]
+        row = [1] + [int(x) for x in r.integers(4, hi_id, 30)] + [5]
         row[4] = img
         ids = np.asarray([row], np.int32)
-        px = r.normal(size=(1, 3, 336, 336)).astype(np.float32)
+        px = r.normal(size=(1, 3, px_hw, px_hw)).astype(np.float32)
         st8 = e8.prefill(ids, px)
         st4 = e4.prefill(ids, px)
 
