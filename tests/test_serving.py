@@ -181,3 +181,24 @@ def test_step_chunk_matches_per_step(tiny_llava, rng):
     assert set(ra) == set(rb) == set(reqs)
     for rid in reqs:
         np.testing.assert_array_equal(ra[rid], rb[rid], err_msg=rid)
+
+
+def test_server_int4_weights(tiny_llava, rng):
+    """int4-packed LM tower through the serving path: server output ==
+    per-request generation on the same quantized params (the {q4,s4}
+    _mm dispatch inside the server's jitted step/placement programs)."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    _, cfg, params, _, _, _ = tiny_llava
+    qparams = params._replace(lm=quantize_llama_params_int4(params.lm))
+    eng = _engine(cfg, qparams, int8_kv=True)
+    reqs = _requests(rng, 3)
+    expected = {
+        rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()
+    }
+    server = DecodeServer(engine=eng, n_slots=2)
+    results = server.run(list(reqs), lambda rid: reqs[rid])
+    for rid in reqs:
+        np.testing.assert_array_equal(
+            results[rid], expected[rid][: len(results[rid])], err_msg=rid
+        )
