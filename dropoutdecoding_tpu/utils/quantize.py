@@ -72,13 +72,25 @@ INT4_GROUP = 128  # contraction-dim group size (RTN-g128, the standard
 #   never straddle a group
 
 
-def quantize_matrix_int4(w: jax.Array, group_size: int = INT4_GROUP) -> dict:
+INT4_CLIP_GRID = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
+
+
+def quantize_matrix_int4(
+    w: jax.Array,
+    group_size: int = INT4_GROUP,
+    clip_grid: tuple = INT4_CLIP_GRID,
+) -> dict:
     """Symmetric group-wise int4, two values packed per int8 byte.
 
     Decode is HBM-bound on the weight stream; int4 halves the int8 stream
     again (0.516 bytes/weight incl. fp32 group scales at g=128).  Scheme:
-    round-to-nearest with per-(group, output-channel) scale s = amax/7,
-    values in [-7, 7] — the plain RTN-g128 operating point.
+    round-to-nearest with per-(group, output-channel) scale chosen by an
+    MSE-optimal clip search over ``clip_grid`` × (amax/7) — plain-RTN
+    amax scaling wastes the 4-bit grid on the group's single largest
+    value; clipping it shrinks the error of every OTHER element, and the
+    per-(group, channel) argmin never does worse than plain RTN
+    (clip_grid=(1.0,) recovers it exactly).  Offline-only cost: the
+    search runs once per matrix at load, the runtime format is unchanged.
 
     Packing: byte ``d`` of ``q4`` [.., D/2, E] holds contraction rows
     ``d`` (low nibble) and ``d + D/2`` (high nibble), so the matmul
@@ -96,7 +108,20 @@ def quantize_matrix_int4(w: jax.Array, group_size: int = INT4_GROUP) -> dict:
     n = D // group_size
     wg = w32.reshape(lead + (n, group_size, E))
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # [.., n, 1, E]
-    s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    best_s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    if len(clip_grid) > 1 or clip_grid[0] != 1.0:
+        best_err = None
+        for c in clip_grid:
+            sc = jnp.where(amax > 0, c * amax / 7.0, 1.0)
+            qc = jnp.clip(jnp.round(wg / sc), -7, 7)
+            err = jnp.sum((qc * sc - wg) ** 2, axis=-2, keepdims=True)
+            if best_err is None:
+                best_s, best_err = sc, err
+            else:
+                pick = err < best_err
+                best_s = jnp.where(pick, sc, best_s)
+                best_err = jnp.minimum(err, best_err)
+    s = best_s
     q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
     q = q.reshape(lead + (D, E))
     lo = q[..., : D // 2, :]

@@ -131,3 +131,25 @@ def test_fused_bf16_decode_attention_matches_xla(rng, KH):
     )
     scale = np.max(np.abs(ref)) + 1e-9
     assert np.max(np.abs(ref - got)) / scale < 2e-2
+
+
+@pytest.mark.parametrize("R,D,E,G", [(4, 512, 384, 128), (3, 256, 130, 64)])
+def test_int4_matmul_kernel_matches_dequant(rng, R, D, E, G):
+    """ops/pallas_int4_matmul in interpret mode vs the bf16 dense product
+    against its own dequantization — the kernel's unpack/scale/two-half
+    contraction math, including a non-128-divisible E edge."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_matrix_int4,
+    )
+
+    x = jnp.asarray(rng.normal(size=(R, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(D, E)).astype(np.float32) * 0.05)
+    wq = quantize_matrix_int4(w, group_size=G)
+    ref = np.asarray(
+        (x @ dequantize_matrix_int4(wq, jnp.bfloat16)).astype(jnp.float32)
+    )
+    got = np.asarray(int4_matmul(x, wq["q4"], wq["s4"], out_dtype=jnp.float32))
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(ref - got)) / scale < 1e-2

@@ -218,11 +218,24 @@ def test_int4_pack_roundtrip_exact(rng):
     assert int(jnp.max(hi)) <= 7 and int(jnp.min(hi)) >= -8
 
     back = np.asarray(dequantize_matrix_int4(wq))
-    # per-group symmetric int4: |err| <= s/2 = amax_group/14
     w_np = np.asarray(w).reshape(4, 16, 48)
     amax = np.abs(w_np).max(axis=1, keepdims=True)
     err = np.abs(back.reshape(4, 16, 48) - w_np)
-    assert np.all(err <= amax / 14 + 1e-8)
+    # clip-searched RTN: unclipped elements err <= s/2 <= amax/14;
+    # clipped outliers err <= (1 - min_clip) * amax + s/2
+    from dropoutdecoding_tpu.utils.quantize import INT4_CLIP_GRID
+
+    cmin = min(INT4_CLIP_GRID)
+    assert np.all(err <= (1 - cmin) * amax + amax / 14 + 1e-8)
+    # and the clip search never does worse than plain RTN (clip=1.0),
+    # per (group, out-channel) MSE
+    plain = np.asarray(
+        dequantize_matrix_int4(quantize_matrix_int4(w, 16, clip_grid=(1.0,)))
+    )
+    mse = ((back.reshape(4, 16, 48) - w_np) ** 2).sum(axis=1)
+    mse_plain = ((plain.reshape(4, 16, 48) - w_np) ** 2).sum(axis=1)
+    assert np.all(mse <= mse_plain + 1e-10)
+    assert mse.sum() < mse_plain.sum()  # strictly better somewhere
 
 
 def test_int4_mm_matches_dequantized_dense(rng):
