@@ -837,7 +837,7 @@ def run_once(n_layers):
         )
 
     # int4 weight-only deployment (--quantize int4): group-wise (g=128)
-    # packed 4-bit projections + lm_head, int8 KV.  Decode is HBM-bound on
+    # packed 4-bit projections, int8 lm_head + int8 KV.  Decode is HBM-bound on
     # the weight stream, so halving the int8 stream again is the single
     # biggest remaining decode lever (~3.5 GB/token vs 6.8).  Runs last:
     # the int4 tower replaces the freed int8/Mistral weights on the chip.

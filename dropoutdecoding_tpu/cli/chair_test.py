@@ -594,9 +594,9 @@ def build_parser():
         "symmetric (~2x decode throughput); 'w8a8' = int8 weights + "
         "on-the-fly int8 activations for PREFILL projections on the "
         "native int8 MXU (~1.6x prefill rate; decode unchanged); "
-        "'int4' = weight-only group-wise (g=128) packed 4-bit — halves "
-        "the int8 decode weight stream again (drift measured in "
-        "cli/fused_gap.py --study int4w4)",
+        "'int4' = weight-only group-wise (g=128) clip-searched 4-bit "
+        "projections with an int8 lm_head — near-halves the int8 decode "
+        "weight stream (drift measured in cli/fused_gap.py --study int4)",
     )
     p.add_argument(
         "--int8-kv",

@@ -82,6 +82,13 @@ def synthetic_int4_lm(cfg, key):
         )
         return {"q4": packed, "s4": s}
 
+    def qmat8(shape):
+        # deployment int4 config keeps the lm_head at int8
+        # (utils/quantize.quantize_llama_params_int4 lm_head="int8")
+        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
+        s = jnp.full(shape[:-2] + (1, shape[-1]), 0.02 / 73.3, jnp.float32)
+        return {"q": q, "s": s}
+
     layers = {
         "input_ln": jnp.ones((L, D), jnp.bfloat16),
         "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
@@ -100,7 +107,7 @@ def synthetic_int4_lm(cfg, key):
         "embed_tokens": emb,
         "layers": layers,
         "norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": qmat((D, V)),
+        "lm_head": qmat8((D, V)),
     }
 
 
@@ -199,7 +206,8 @@ def synthetic_llava_7b_dual(key, n_layers=None):
             q4s.append(q4)
         l8[name] = {n: jnp.stack([x[n] for x in q8s]) for n in q8s[0]}
         l4[name] = {n: jnp.stack([x[n] for x in q4s]) for n in q4s[0]}
-    head8, head4 = _dual_one(keys[-1], D, V)
+    head8, _ = _dual_one(keys[-1], D, V)
+    head4 = head8  # deployment int4 config: lm_head stays int8 (shared)
 
     emb = (0.02 * jax.random.normal(k_emb, (V, D), jnp.float32)).astype(
         jnp.bfloat16

@@ -201,7 +201,7 @@ def test_int4_decode_tower_compiled(rng):
         head_dim=128,
     )
     params = llama.init_params(cfg, jax.random.key(2), jnp.bfloat16)
-    q4 = quantize_llama_params_int4(params)
+    q4 = quantize_llama_params_int4(params, lm_head="int4")
 
     def dense_of(p):
         return jax.tree.map(
