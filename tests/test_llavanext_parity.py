@@ -371,3 +371,62 @@ def test_probe_matches_prefill_with_image_dedupe(tiny_llava_next):
         np.asarray(deduped.last_logits), np.asarray(ref.last_logits),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_int4_weights_generate_matches_fp_structure(tiny_llava_next):
+    """int4-quantized Mistral tower (GQA; quantize_llama_params_int4 via
+    the shared llama _mm dispatch) through the LLaVA-NeXT engine: the
+    ensemble generate runs and the greedy tokens equal a generate on the
+    explicitly dequantized dense tower (the dispatch math, not drift)."""
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix,
+        dequantize_matrix_int4,
+        quantize_llama_params_int4,
+    )
+
+    model, cfg, params = tiny_llava_next
+    q4 = quantize_llama_params_int4(params.lm)
+    dense_lm = {
+        k: (
+            {
+                n: (
+                    dequantize_matrix_int4(w)
+                    if isinstance(w, dict) and "q4" in w
+                    else dequantize_matrix(w) if isinstance(w, dict) else w
+                )
+                for n, w in v.items()
+            }
+            if k == "layers"
+            else (
+                dequantize_matrix_int4(v)
+                if isinstance(v, dict) and "q4" in v
+                else dequantize_matrix(v) if isinstance(v, dict) else v
+            )
+        )
+        for k, v in q4.items()
+    }
+    rng = np.random.default_rng(11)
+    from PIL import Image
+
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    img = Image.fromarray((rng.random((30, 95, 3)) * 255).astype(np.uint8), "RGB")
+    tiles, orig = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)(img)
+
+    def mk(lm):
+        e = LlavaNextEngine(
+            cfg=cfg,
+            params=params._replace(lm=lm),
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=-1, pad_token_id=0),
+            max_len=next_mod.max_image_tokens(cfg) + 32,
+            ensemble=False,
+            seed=506,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    ids = np.array([[1, 5, 32, 11]])
+    tq = mk(q4).generate(ids, tiles, orig).tokens
+    td = mk(dense_lm).generate(ids, tiles, orig).tokens
+    np.testing.assert_array_equal(tq, td)
