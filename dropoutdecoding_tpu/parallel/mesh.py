@@ -209,3 +209,39 @@ def mesh_of(params) -> Mesh | None:
         ):
             return mesh
     return None
+
+
+def shard_llavanext_params(params, mesh: Mesh):
+    """LlavaNextParams on the mesh: CLIP tower + projector and the Mistral
+    LM use the same megatron specs as LLaVA (identical module layouts);
+    image_newline is a [D] vector, replicated."""
+    from ..models.llavanext import LlavaNextParams
+
+    return LlavaNextParams(
+        vision=_apply_specs(params.vision, clip_param_specs(), mesh),
+        projector=_apply_specs(params.projector, projector_param_specs(), mesh),
+        image_newline=jax.device_put(
+            params.image_newline, NamedSharding(mesh, P())
+        ),
+        lm=_apply_specs(params.lm, llama_param_specs(), mesh),
+    )
+
+
+def shard_instructblip_params(params, mesh: Mesh):
+    """InstructBlipParams on the mesh: the Vicuna LM (the decode path —
+    where TP pays) gets the megatron specs; EVA-ViT-g + Q-Former +
+    projection run exactly once per request at prefill and are replicated
+    (their per-request compute is tiny next to the LM tower)."""
+    from ..models.instructblip import InstructBlipParams
+
+    rep = NamedSharding(mesh, P())
+
+    def put_rep(tree):
+        return jax.tree.map(lambda a: jax.device_put(a, rep), tree)
+
+    return InstructBlipParams(
+        vision=put_rep(params.vision),
+        qformer=put_rep(params.qformer),
+        projection=put_rep(params.projection),
+        lm=_apply_specs(params.lm, llama_param_specs(), mesh),
+    )

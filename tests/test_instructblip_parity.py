@@ -303,3 +303,37 @@ def test_probe_matches_prefill_with_image_dedupe(tiny_instructblip, rng):
         np.asarray(deduped.last_logits), np.asarray(ref.last_logits),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_tp_sharded_generate_matches_single_device(tiny_instructblip):
+    """InstructBLIP under the (2 data x 4 model) TP mesh
+    (parallel/mesh.shard_instructblip_params — Vicuna LM megatron-
+    sharded, EVA-ViT + Q-Former + projection replicated): greedy
+    generate with sharded params == the unsharded run."""
+    from dropoutdecoding_tpu.parallel.mesh import (
+        make_mesh,
+        shard_instructblip_params,
+    )
+
+    model, cfg, params, pixels = tiny_instructblip
+    q_ids = np.array([[3, 7, 11]])
+    input_ids = np.array([[1, 9, 21, 33]])
+
+    def mk(p):
+        e = InstructBlipEngine(
+            cfg=cfg,
+            params=p,
+            gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1, pad_token_id=0),
+            max_len=48,
+            ensemble=False,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    ref = mk(params).generate(input_ids, pixels, q_ids).tokens
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp = shard_instructblip_params(params, mesh)
+    with mesh:
+        tokens = mk(sp).generate(input_ids, pixels, q_ids).tokens
+    np.testing.assert_array_equal(tokens, ref)

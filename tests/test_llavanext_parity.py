@@ -430,3 +430,46 @@ def test_int4_weights_generate_matches_fp_structure(tiny_llava_next):
     tq = mk(q4).generate(ids, tiles, orig).tokens
     td = mk(dense_lm).generate(ids, tiles, orig).tokens
     np.testing.assert_array_equal(tq, td)
+
+
+def test_tp_sharded_generate_matches_single_device(tiny_llava_next):
+    """LLaVA-NeXT under the (2 data x 4 model) TP mesh
+    (parallel/mesh.shard_llavanext_params — CLIP + projector + Mistral
+    GQA megatron specs, image_newline replicated): greedy generate with
+    sharded params == the unsharded run, GSPMD resolving placement from
+    the parameter shardings alone."""
+    from dropoutdecoding_tpu.parallel.mesh import (
+        make_mesh,
+        shard_llavanext_params,
+    )
+
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(12)
+    from PIL import Image
+
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    img = Image.fromarray((rng.random((30, 95, 3)) * 255).astype(np.uint8), "RGB")
+    tiles, orig = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)(img)
+
+    def mk(p):
+        e = LlavaNextEngine(
+            cfg=cfg,
+            params=p,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1, pad_token_id=0),
+            max_len=next_mod.max_image_tokens(cfg) + 32,
+            ensemble=False,
+            seed=506,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    ids = np.array([[1, 5, 32, 11]])
+    ref = mk(params).generate(ids, tiles, orig).tokens
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp = shard_llavanext_params(params, mesh)
+    with mesh:
+        tokens = mk(sp).generate(ids, tiles, orig).tokens
+    np.testing.assert_array_equal(tokens, ref)
