@@ -136,7 +136,88 @@ def main(args):
         from tqdm import tqdm
 
         batch = max(getattr(args, "batch_size", 1) or 1, 1)
-        if batch > 1:
+        use_prefix = str2bool(getattr(args, "prefix_cache", False))
+        if use_prefix and model_key != "llava-1.5":
+            raise SystemExit(
+                "--prefix-cache currently supports --model llava only "
+                "(LLaVA-NeXT/InstructBLIP prefixes need their own merge "
+                "paths)"
+            )
+        if use_prefix:
+            # Prefix caching: POPE asks ~6 consecutive questions per
+            # image whose merged prompts share everything up to the
+            # question text (~580 of ~615 tokens at LLaVA-1.5 shapes).
+            # The shared [text-prefix + image] span prefills ONCE per
+            # image (engine.probe_prefix); per-question tails run through
+            # prefill_extend attending to the cached prefix — numerically
+            # identical to the full probe (tests/test_prefix_extend.py).
+            # The reference re-prefills the whole prompt per question
+            # (pope_test.py:239-242).
+            t1 = np.asarray(
+                processor(POPE_PROMPTS[args.model].format("aaaa"))["input_ids"]
+            )[0]
+            t2 = np.asarray(
+                processor(POPE_PROMPTS[args.model].format("zzzz"))["input_ids"]
+            )[0]
+            m = min(len(t1), len(t2))
+            neq = np.nonzero(t1[:m] != t2[:m])[0]
+            tpl_p = int(neq[0]) if len(neq) else m  # template prefix len
+
+            groups = []
+            for q in questions[:n]:
+                if groups and groups[-1][0] == q["image"]:
+                    groups[-1][1].append(q)
+                else:
+                    groups.append((q["image"], [q]))
+            QPAD = 8  # tail-row bucket (one compile per tail-len bucket)
+            for image_name, qs in tqdm(groups):
+                image = Image.open(
+                    os.path.join(image_base, image_name)
+                ).convert("RGB")
+                rows, px = [], None
+                for q in qs:
+                    prompt = POPE_PROMPTS[args.model].format(q["text"])
+                    e = processor(prompt, image if px is None else None)
+                    if px is None:
+                        px = np.asarray(e["pixel_values"])
+                    rows.append(np.asarray(e["input_ids"])[0])
+                # group prefix: the template prefix, shrunk if BPE merges
+                # at the question boundary perturbed any row, and leaving
+                # >= 1 real tail token per row
+                p_use = min(tpl_p, min(len(r) for r in rows) - 1)
+                while p_use > 1 and any(
+                    not np.array_equal(r[:p_use], rows[0][:p_use])
+                    for r in rows
+                ):
+                    p_use -= 1
+                img_pos = int(
+                    np.nonzero(rows[0] == engine.cfg.image_token_index)[0][0]
+                )
+                if p_use <= img_pos:
+                    raise SystemExit(
+                        "--prefix-cache: shared prefix does not cover the "
+                        "image token for this prompt template"
+                    )
+                tails = [r[p_use:] for r in rows]
+                S = -(-max(len(t) for t in tails) // 8) * 8
+                Q = len(tails)
+                Qp = -(-Q // QPAD) * QPAD
+                tail_ids = np.zeros((Qp, S), np.int32)
+                lens = np.ones((Qp,), np.int32)
+                for i, t in enumerate(tails):
+                    tail_ids[i, : len(t)] = t
+                    lens[i] = len(t)
+                kv = engine.probe_prefix(rows[0][:p_use][None], px)
+                result = engine.probe_extend(kv, tail_ids, lens)
+                toks = np.asarray(result.first_token)[:Q]
+                for q, t in zip(qs, toks):
+                    answers.append(
+                        {
+                            "question": q["text"],
+                            "answer": processor.decode([int(t)]).strip(),
+                        }
+                    )
+        elif batch > 1:
             # Batched fast path: a POPE answer is one token = the argmax
             # at the prompt's last position, so the whole workload is
             # prefill.  Questions differ in length — right-pad the batch
@@ -293,6 +374,16 @@ def build_parser():
         "prefill, and variable-length questions are right-padded with "
         "per-row lengths — amortizes the vision tower + dispatch across "
         "the batch",
+    )
+    p.add_argument(
+        "--prefix-cache",
+        type=str2bool,
+        default=False,
+        help="prefill the shared [text-prefix + image] span ONCE per "
+        "image and run each question as a short extension over the "
+        "cached KV (POPE asks ~6 questions per image; the prefix is "
+        "~580 of ~615 merged tokens at LLaVA-1.5 shapes).  Numerically "
+        "identical to the full probe.  --model llava only for now",
     )
     return p
 

@@ -207,6 +207,8 @@ class LlavaEngine:
         self.tp_mesh = mesh_of(self.params)
         self._prefill = jax.jit(self._prefill_impl)
         self._probe = jax.jit(functools.partial(self._prefill_impl, probe=True))
+        self._probe_prefix = jax.jit(self._probe_prefix_impl)
+        self._probe_extend = jax.jit(self._probe_extend_impl)
         self._decode = jax.jit(self._decode_loop_impl)
 
     @property
@@ -302,6 +304,54 @@ class LlavaEngine:
             rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
         )
+
+    def _probe_prefix_impl(self, params, prefix_ids, pixel_values):
+        """KV of the SHARED prompt prefix (vision + merge + LM prefill of
+        one row) — prefix caching for 1-token workloads.  POPE asks ~6
+        questions per image whose merged prompts share everything up to
+        the question text (~580 of ~615 tokens at LLaVA-1.5 shapes); the
+        reference re-prefills the whole prompt per question
+        (pope_test.py:239-242)."""
+        cfg = self.cfg
+        image_pos = llava_mod.find_image_pos(prefix_ids, cfg.image_token_index)
+        feats = llava_mod.image_features(cfg, params, pixel_values)
+        text_embeds = llama_mod.embed(
+            params.lm,
+            jnp.where(prefix_ids == cfg.image_token_index, 0, prefix_ids),
+        )
+        merged = llava_mod.merge_image_features(text_embeds, feats, image_pos)
+        S = merged.shape[1]
+        positions = jnp.broadcast_to(
+            jnp.arange(S)[None], (prefix_ids.shape[0], S)
+        )
+        _, kv = llama_mod.prefill(
+            params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
+        )
+        return kv
+
+    def _probe_extend_impl(self, params, prefix_kv, tail_ids, text_lens):
+        """Per-question tail over a cached prefix: embed + prefill_extend
+        + last-valid-position logits.  Tails are plain text (no image
+        token); right padding is exact under causal attention."""
+        cfg = self.cfg
+        B, T = tail_ids.shape
+        P = prefix_kv.k.shape[2]
+        emb = llama_mod.embed(params.lm, tail_ids)
+        positions = jnp.broadcast_to(P + jnp.arange(T)[None], (B, T))
+        hidden, _ = llama_mod.prefill_extend(
+            params.lm, cfg.text, emb, positions, prefix_kv,
+            w8a8=self.w8a8_prefill,
+        )
+        if text_lens is None:
+            last_hidden = hidden[:, -1]
+        else:
+            idx = jnp.clip(jnp.asarray(text_lens, jnp.int32) - 1, 0, T - 1)
+            last_hidden = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0]
+        last_logits = llama_mod.lm_head(params.lm, last_hidden)
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        return ProbeResult(first_token=first_token, last_logits=last_logits)
 
     # ------------------------------------------------------------------
     # decode
@@ -592,6 +642,24 @@ class LlavaEngine:
             jnp.asarray(pixel_values),
             None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
             None if image_index is None else jnp.asarray(image_index, jnp.int32),
+        )
+
+    def probe_prefix(self, prefix_ids, pixel_values):
+        """Prefix KV for probe_extend: run the shared [text-prefix +
+        image] span once per image (prefix caching)."""
+        return self._probe_prefix(
+            self.params, jnp.asarray(prefix_ids), jnp.asarray(pixel_values)
+        )
+
+    def probe_extend(self, prefix_kv, tail_ids, text_lens=None) -> ProbeResult:
+        """1-token answers for a batch of question tails over a cached
+        prefix — probe() semantics at a fraction of the prefill cost
+        (the prefix tower runs once per image, not once per question)."""
+        return self._probe_extend(
+            self.params,
+            prefix_kv,
+            jnp.asarray(tail_ids),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
         )
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:

@@ -479,6 +479,59 @@ def _prefill_batched(
     return hidden, KVCache(ks, vs)
 
 
+def prefill_extend(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    prefix: KVCache,
+    w8a8: bool = False,
+):
+    """Continued causal prefill over a shared prefix KV (prefix caching).
+
+    Forward T new tokens that attend to a fully-visible prefix plus
+    causally to themselves — numerically identical to prefilling
+    [prefix + tail] in one pass (causal attention factorizes), but the
+    prefix tower runs ONCE per image instead of once per question
+    (ops/attention.extend_attention; reference pope_test.py:239-242
+    re-prefills the whole merged prompt per question).
+
+    Args:
+      inputs_embeds: [B, T, D] tail embeddings.
+      positions: [B, T] ABSOLUTE rope positions (prefix_len + arange(T)).
+      prefix: KVCache with [L, Bp, P, KH, Dh] leaves, Bp in {1, B} —
+        Bp=1 broadcasts one image's prefix across all question rows with
+        no copy.
+    Returns:
+      (hidden [B, T, D] final-norm output, tail KVCache [L, B, T, KH, Dh]).
+    """
+    from ..ops.attention import extend_attention
+
+    B, T, D = inputs_embeds.shape
+    H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    mm = _mm_w8a8 if w8a8 else _mm
+
+    def layer(x, xs):
+        lp, pk, pv = xs
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q = mm(h, lp["q_proj"]).reshape(B, T, H, Dh)
+        k = mm(h, lp["k_proj"]).reshape(B, T, KH, Dh)
+        v = mm(h, lp["v_proj"]).reshape(B, T, KH, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = extend_attention(q, k, v, pk, pv)
+        x = x + mm(attn.reshape(B, T, H * Dh), lp["o_proj"])
+        h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
+        return x + _mlp(lp, h2, mm), (k, v)
+
+    x, (ks, vs) = jax.lax.scan(
+        layer, inputs_embeds, (params["layers"], prefix.k, prefix.v)
+    )
+    return rms_norm(x, params["norm"], cfg.rms_norm_eps), KVCache(ks, vs)
+
+
 def _tp_attend(fn, mesh, n_cache_args):
     """Head-parallel shard_map wrapper for the ensemble decode attention
     ops (XLA or fused Pallas): under TP the cache's KH axis and q's H axis

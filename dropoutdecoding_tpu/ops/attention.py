@@ -243,3 +243,68 @@ def ensemble_decode_attention(
     )
     out = out + self_probs * vn.astype(jnp.float32)
     return out.astype(q.dtype)
+
+
+def extend_attention(
+    q: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    k_prefix: jax.Array,
+    v_prefix: jax.Array,
+) -> jax.Array:
+    """Continued-prefill attention: T new queries attend to a fully-visible
+    shared prefix plus causally to themselves (prefix caching — the POPE
+    workload asks ~6 questions per image whose merged prompts share the
+    ~580-token image prefix; reference pope_test.py:239-242 re-prefills it
+    per question).
+
+    Args:
+      q: [B, T, H, D] (rope already applied at absolute positions P..P+T)
+      k_new, v_new: [B, T, KH, D]
+      k_prefix, v_prefix: [Bp, P, KH, D] with Bp in {1, B} — Bp=1 shares
+        one prefix across all rows WITHOUT a [B, P, ...] copy (the einsum
+        contracts the un-batched prefix directly).
+    Returns:
+      [B, T, H, D]
+    """
+    B, T, H, D = q.shape
+    KH = k_new.shape[2]
+    n = H // KH
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    qg = q.reshape(B, T, KH, n, D)
+
+    if k_prefix.shape[0] == 1:
+        sp = jnp.einsum(
+            "btknd,pkd->btknp", qg, k_prefix[0],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        sp = jnp.einsum(
+            "btknd,bpkd->btknp", qg, k_prefix,
+            preferred_element_type=jnp.float32,
+        )
+    st = jnp.einsum(
+        "btknd,bskd->btkns", qg, k_new, preferred_element_type=jnp.float32
+    )
+    qi = jnp.arange(T)[:, None]
+    si = jnp.arange(T)[None, :]
+    st = jnp.where((si <= qi)[None, :, None, None, :], st, _NEG_INF)
+    scores = jnp.concatenate([sp, st], axis=-1) * scale  # [B,T,KH,n,P+T]
+    probs = jax.nn.softmax(scores, axis=-1)
+    P = k_prefix.shape[1]
+    pp, pt = probs[..., :P], probs[..., P:]
+    if v_prefix.shape[0] == 1:
+        out = jnp.einsum(
+            "btknp,pkd->btknd", pp.astype(v_prefix.dtype), v_prefix[0],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            "btknp,bpkd->btknd", pp.astype(v_prefix.dtype), v_prefix,
+            preferred_element_type=jnp.float32,
+        )
+    out = out + jnp.einsum(
+        "btkns,bskd->btknd", pt.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, H, D).astype(q.dtype)

@@ -293,3 +293,75 @@ def test_pope_cli_vendored_questions_no_coco_annotations(
         if f.endswith("_ans.json")
     ]
     assert len(ans) == 3
+
+
+def test_pope_cli_prefix_cache_matches_per_question(
+    synthetic_coco, tmp_path, monkeypatch, tiny_llava
+):
+    """--prefix-cache True (shared-prefix KV + per-question extend)
+    produces answer archives identical to the per-question path."""
+    import time as _time
+
+    from dropoutdecoding_tpu.cli import chair_test as chair_cli
+    from dropoutdecoding_tpu.cli import pope_test as cli
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    class _VarProcessor(_TinyProcessor):
+        def __call__(self, prompt, image=None):
+            extra = len(prompt) % 3
+            ids = np.array(
+                [[1, 5, 9, self.cfg.image_token_index, 11, 13] + [7] * extra],
+                np.int32,
+            )
+            out = {"input_ids": ids}
+            if image is not None:
+                arr = np.asarray(image.resize((28, 28)), np.float32) / 255.0
+                out["pixel_values"] = arr.transpose(2, 0, 1)[None]
+            return out
+
+    def fake_make_engine(args):
+        eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=48,
+            ensemble=True,
+        )
+        eng.param_dtype = jnp.float32
+        return eng, _VarProcessor(cfg)
+
+    monkeypatch.setattr(chair_cli, "make_engine", fake_make_engine)
+
+    def run(pope_dir, extra_flags):
+        args = cli.build_parser().parse_args(
+            [
+                "--model", "llava",
+                "--model-path", "/unused",
+                "--coco-data-dir", str(synthetic_coco),
+                "--pope-dir", pope_dir,
+                "--refresh-data", "True",
+                "--number", "5",
+                "--seed", "0",
+            ]
+            + extra_flags
+        )
+        cli.main(args)
+        out = {}
+        ans_dir = os.path.join(pope_dir, "answer")
+        for f in os.listdir(ans_dir):
+            for strategy in ("random", "popular", "adversarial"):
+                if f.endswith(f"_{strategy}_ans.json"):
+                    with open(os.path.join(ans_dir, f)) as fh:
+                        out[strategy] = [json.loads(l) for l in fh]
+        return out
+
+    seq = run(str(tmp_path / "pope_seq"), [])
+    _time.sleep(1.1)
+    pc = run(str(tmp_path / "pope_pc"), ["--prefix-cache", "True"])
+    assert set(seq) == {"random", "popular", "adversarial"}
+    for strategy in seq:
+        assert seq[strategy] == pc[strategy], strategy

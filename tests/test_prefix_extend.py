@@ -1,0 +1,137 @@
+"""Prefix caching: prefill_extend over a shared prefix KV must equal the
+one-pass prefill of [prefix + tail] (causal attention factorizes), for
+GQA towers, broadcast (Bp=1) prefixes, and quantized weights."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dropoutdecoding_tpu.models import llama
+from dropoutdecoding_tpu.utils.config import LlamaConfig
+
+
+@pytest.fixture(scope="module")
+def tower():
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=8,
+        num_key_value_heads=2,
+        head_dim=8,
+    )
+    params = llama.init_params(cfg, jax.random.key(0), jnp.float32)
+    return cfg, params
+
+
+def test_extend_matches_full_prefill(tower, rng):
+    cfg, params = tower
+    P, T = 11, 5
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, P + T)))
+    x = llama.embed(params, ids)
+    pos = jnp.arange(P + T)[None]
+    h_full, kv_full = llama.prefill(params, cfg, x, pos)
+
+    h_pre, kv_pre = llama.prefill(params, cfg, x[:, :P], pos[:, :P])
+    h_ext, kv_tail = llama.prefill_extend(
+        params, cfg, x[:, P:], pos[:, P:], kv_pre
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_ext), np.asarray(h_full[:, P:]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_tail.k), np.asarray(kv_full.k[:, :, P:]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_extend_broadcast_prefix_rows(tower, rng):
+    """Bp=1 prefix shared across Q tail rows == per-row full prefill."""
+    cfg, params = tower
+    P, T, Q = 9, 4, 3
+    prefix_ids = rng.integers(0, 128, size=(1, P))
+    tails = rng.integers(0, 128, size=(Q, T))
+
+    xp = llama.embed(params, jnp.asarray(prefix_ids))
+    _, kv_pre = llama.prefill(params, cfg, xp, jnp.arange(P)[None])
+
+    xt = llama.embed(params, jnp.asarray(tails))
+    pos_t = jnp.broadcast_to(P + jnp.arange(T)[None], (Q, T))
+    h_ext, _ = llama.prefill_extend(params, cfg, xt, pos_t, kv_pre)
+
+    for qi in range(Q):
+        full = np.concatenate([prefix_ids[0], tails[qi]])[None]
+        xf = llama.embed(params, jnp.asarray(full))
+        h_full, _ = llama.prefill(
+            params, cfg, xf, jnp.arange(P + T)[None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_ext[qi]), np.asarray(h_full[0, P:]),
+            rtol=1e-5, atol=1e-5, err_msg=f"row {qi}",
+        )
+
+
+def test_extend_int8_and_int4_towers(tower, rng):
+    """Quantized-weight dispatch flows through prefill_extend."""
+    from dropoutdecoding_tpu.utils.quantize import (
+        quantize_llama_params,
+        quantize_llama_params_int4,
+    )
+
+    cfg, params = tower
+    P, T = 8, 3
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, P + T)))
+    for qp in (quantize_llama_params(params),
+               quantize_llama_params_int4(params)):
+        x = llama.embed(qp, ids)
+        pos = jnp.broadcast_to(jnp.arange(P + T)[None], (2, P + T))
+        h_full, _ = llama.prefill(qp, cfg, x, pos)
+        _, kv_pre = llama.prefill(qp, cfg, x[:, :P], pos[:, :P])
+        h_ext, _ = llama.prefill_extend(qp, cfg, x[:, P:], pos[:, P:], kv_pre)
+        np.testing.assert_allclose(
+            np.asarray(h_ext), np.asarray(h_full[:, P:]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_engine_probe_prefix_extend_matches_probe(tiny_llava, rng):
+    """probe_prefix + probe_extend == probe() on the full concatenated
+    prompts: same answers and logits for 3 question tails sharing one
+    image prefix, including right-padded variable-length tails."""
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = LlavaEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(),
+        gen=GenerationConfig(max_new_tokens=1, eos_token_id=-1, pad_token_id=0),
+        max_len=64,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+
+    img = cfg.image_token_index
+    prefix = np.array([[1, 5, img, 9]], np.int32)
+    tails = np.array(
+        [[11, 13, 17, 0], [19, 23, 0, 0], [29, 31, 37, 41]], np.int32
+    )
+    text_lens = np.array([3, 2, 4], np.int32)
+    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+
+    kv = eng.probe_prefix(prefix, pixels)
+    got = eng.probe_extend(kv, tails, text_lens)
+
+    # reference: full probe per question (prefix + real tail tokens)
+    for qi in range(3):
+        full = np.concatenate([prefix[0], tails[qi, : text_lens[qi]]])[None]
+        ref = eng.probe(full, pixels)
+        assert int(got.first_token[qi]) == int(ref.first_token[0]), qi
+        np.testing.assert_allclose(
+            np.asarray(got.last_logits[qi]),
+            np.asarray(ref.last_logits[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"row {qi}",
+        )
