@@ -448,12 +448,39 @@ def run_once(n_layers):
             f"{Bq / bestq:.1f} questions/s/chip",
             file=sys.stderr, flush=True,
         )
+        # prefix-cached POPE (cli/pope_test.py --prefix-cache): the
+        # shared [text-prefix + image] span (~583 of ~615 merged tokens)
+        # prefills ONCE per image; each question is a ~32-token
+        # prefill_extend over the cached KV.  Steady state = 1 prefix +
+        # 1 extend (6 real questions padded to 8 rows) per image.
+        prefix_ids = np.zeros((1, 8), np.int32)
+        prefix_ids[0] = [1] + list(rngq.integers(4, 1000, 7))
+        prefix_ids[0, 3] = cfg.image_token_index
+        tails = rngq.integers(4, 1000, (8, 32)).astype(np.int32)
+        tlens = rngq.integers(26, 33, 8).astype(np.int32)
+        kvp = e8.probe_prefix(prefix_ids, pxu[:1])
+        rp = e8.probe_extend(kvp, tails, tlens)
+        _fetch(rp.first_token)
+        bestp = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            kvp = e8.probe_prefix(prefix_ids, pxu[:1])
+            rp = e8.probe_extend(kvp, tails, tlens)
+            _fetch(rp.first_token)
+            bestp = min(bestp, time.perf_counter() - t0)
+        bestp = max(bestp - ov, bestp / 2)
+        print(
+            f"prefix-cached POPE (w8a8, 1 prefix + 6 questions/image): "
+            f"{bestp * 1000:.1f} ms/image => {6 / bestp:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+
         # free the prefill-block state BEFORE the stretch config — stq's
         # B=8 cache (~1.4 GB) plus e8's programs tipped the 16 GB chip
         # over once the stretch engine allocated its 16 caches
         import gc as _gc
 
-        del st, stq, e8
+        del st, stq, e8, kvp, rp
         _gc.collect()
     except Exception as e:
         print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
