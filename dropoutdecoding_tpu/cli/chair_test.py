@@ -90,9 +90,15 @@ def make_engine(args):
             "Run with --original/--vcd or the default dropout decoding."
         )
 
+    num_beams = args.num_beams if args.num_beams is not None else 1
+    do_sample = str2bool(getattr(args, "do_sample", False))
+    if do_sample and num_beams > 1:
+        raise SystemExit(
+            "--do-sample with --num-beams > 1 (beam-sample) is not "
+            "implemented; drop one of the two flags."
+        )
     processor = VlmProcessor.from_checkpoint(args.model_path)
     eos = processor.tokenizer.eos_token_id
-    num_beams = args.num_beams if args.num_beams is not None else 1
     es = getattr(args, "early_stopping", "false")
     es = "never" if str(es).lower() == "never" else str2bool(es)
     gen = GenerationConfig(
@@ -102,6 +108,10 @@ def make_engine(args):
         num_beams=num_beams,
         length_penalty=getattr(args, "length_penalty", 1.0),
         early_stopping=es,
+        do_sample=do_sample,
+        temperature=getattr(args, "temperature", 1.0),
+        top_p=getattr(args, "top_p", 1.0),
+        top_k=getattr(args, "top_k", None),
         use_cd=str2bool(args.vcd),
     )
     common = dict(
@@ -538,6 +548,14 @@ def build_parser():
         default="false",
         help="beam stopping rule: true / false / never (HF semantics)",
     )
+    # sampling knobs (HF generate surface; the reference's VCD path passes
+    # do_sample=True, temperature=1.0, top_p=1, top_k=None —
+    # chair_test.py:331-334 — and the VCD sampler here always samples;
+    # these also enable sampled dropout-decoding / greedy runs)
+    p.add_argument("--do-sample", type=str2bool, default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--sample-save-name", type=str, default="sample.log")
     p.add_argument("--image-numbers", type=int, default=500)
     p.add_argument("--model", type=str, default="llava-1.5")

@@ -159,6 +159,12 @@ def build_parser():
     p.add_argument("--voting-numbers", type=int, default=3)
     p.add_argument("--use_random", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=None)
+    # sampling (HF warper semantics; per-request-deterministic draws —
+    # the slot layer preserves rng_id so placement never changes tokens)
+    p.add_argument("--do-sample", type=str2bool, default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--fused-step", type=str2bool, default=True)
     p.add_argument(
         "--quantize", type=str, default=None, choices=[None, "int8", "w8a8", "int4"]

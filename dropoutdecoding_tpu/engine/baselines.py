@@ -21,6 +21,7 @@ import numpy as np
 from ..decoding.vcd import contrastive_logits, diffusion_noise
 from ..models import llama as llama_mod
 from ..models.llama import KVCache
+from ..ops.sampling import warp_logits
 from .generate import GenerationResult
 
 
@@ -62,11 +63,17 @@ def vcd_generate(
         jnp.concatenate([state.cache.v, state_cd.cache.v], axis=1),
     )
 
+    # warpers apply AFTER the contrastive cutoff, exactly like the
+    # reference (vcd_sample.py:150-161: cutoff -> diffs -> temperature ->
+    # top-k -> top-p -> multinomial); neutral knobs compile to nothing
+    def _warp(l):
+        return warp_logits(l, gen.temperature, gen.top_k, gen.top_p)
+
     first_logits = contrastive_logits(
         state.last_logits, state_cd.last_logits, gen.cd_alpha, gen.cd_beta
     )
     first_token = jax.random.categorical(
-        jax.random.fold_in(k_sample, 0), first_logits, axis=-1
+        jax.random.fold_in(k_sample, 0), _warp(first_logits), axis=-1
     ).astype(jnp.int32)
 
     @jax.jit
@@ -91,7 +98,9 @@ def vcd_generate(
                 logits2[:B], logits2[B:], gen.cd_alpha, gen.cd_beta
             )
             skey = jax.random.fold_in(jax.random.fold_in(k_sample, 1), step)
-            nxt = jax.random.categorical(skey, cd, axis=-1).astype(jnp.int32)
+            nxt = jax.random.categorical(skey, _warp(cd), axis=-1).astype(
+                jnp.int32
+            )
             cache = KVCache(
                 cache.k.at[:, jnp.arange(2 * B), cur2].set(k_new[:, :, 0]),
                 cache.v.at[:, jnp.arange(2 * B), cur2].set(v_new[:, :, 0]),

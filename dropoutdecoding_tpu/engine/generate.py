@@ -453,6 +453,23 @@ class LlavaEngine:
             drop_slots = drop_slots | (tdrop & in_gen)[:, None, :]
         return drop_slots
 
+    def _sample_rows(self, steps, rng_id, logits):
+        """Per-row sampled tokens (gen.do_sample): HF warper semantics
+        (temperature -> top-k -> top-p, ops/sampling.py) + categorical
+        draw keyed by (seed, step, rng stream) — deterministic per
+        request like the mask streams, stable under the serving layer's
+        slot placement."""
+        from ..ops.sampling import warp_logits
+
+        base = jax.random.fold_in(jax.random.key(self.seed), 104729)
+        keys = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.fold_in(base, s), b)
+        )(steps, rng_id)
+        warped = warp_logits(
+            logits, self.gen.temperature, self.gen.top_k, self.gen.top_p
+        )
+        return jax.vmap(jax.random.categorical)(keys, warped).astype(jnp.int32)
+
     def _one_step(self, params, state, carry):
         """One ensemble decode step.  carry = (cache, cur_len, token,
         steps [B] per-row generation index, tokens_buf, done,
@@ -504,6 +521,10 @@ class LlavaEngine:
             winner_logits = jnp.take_along_axis(
                 logits_k, winner[:, None, None], axis=1
             )[:, 0]
+            if self.gen.do_sample:
+                # HF sample(): multinomial over the forward's returned
+                # (= vote-winner) logits; masks/overlap stay on argmax
+                next_token = self._sample_rows(steps, state.rng_id, winner_logits)
             tm = _record_text_stats(tm, steps, winner_logits)
         else:
             # --- phase 1: unmasked forward (reference llava.py:294-305) ---
@@ -515,8 +536,12 @@ class LlavaEngine:
             argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
 
             if not self.ensemble:
-                # plain greedy: the unmasked member IS the output.
-                next_token = argmax0.astype(jnp.int32)
+                # plain greedy: the unmasked member IS the output
+                # (or a sampled draw from it under gen.do_sample).
+                if self.gen.do_sample:
+                    next_token = self._sample_rows(steps, state.rng_id, logits0)
+                else:
+                    next_token = argmax0.astype(jnp.int32)
                 kw, vw = k0[:, :, 0], v0[:, :, 0]
             else:
                 # --- phases 2-3: masks from the CURRENT unmasked argmax
@@ -546,6 +571,10 @@ class LlavaEngine:
                 winner_logits = jnp.take_along_axis(
                     logits_k, winner[:, None, None], axis=1
                 )[:, 0]
+                if self.gen.do_sample:
+                    next_token = self._sample_rows(
+                        steps, state.rng_id, winner_logits
+                    )
                 tm = _record_text_stats(tm, steps, winner_logits)
 
         cache = llama_mod.cache_set_rows(cache, cur_len, kw, vw)
@@ -579,9 +608,18 @@ class LlavaEngine:
     def _decode_loop_impl(self, params, state: PrefillState):
         B = state.first_token.shape[0]
         T = self.gen.max_new_tokens
+        if self.gen.do_sample:
+            # HF samples EVERY generated token, including the one drawn
+            # from the prompt's last logits (step key 0; decode steps
+            # start at 1).  Mask/overlap machinery stays on the argmax.
+            first_token = self._sample_rows(
+                jnp.zeros((B,), jnp.int32), state.rng_id, state.last_logits
+            )
+        else:
+            first_token = state.first_token
         tokens_buf = jnp.full((B, T), self.gen.pad_token_id, jnp.int32)
-        tokens_buf = tokens_buf.at[:, 0].set(state.first_token)
-        done = state.first_token == self.gen.eos_token_id
+        tokens_buf = tokens_buf.at[:, 0].set(first_token)
+        done = first_token == self.gen.eos_token_id
         tm0 = TextMaskState(
             prob=jnp.zeros((B, T), jnp.float32),
             ent=jnp.zeros((B, T), jnp.float32),
@@ -591,7 +629,7 @@ class LlavaEngine:
         carry = (
             state.cache,
             state.cur_len,
-            state.first_token,
+            first_token,
             jnp.ones((B,), jnp.int32),  # per-row step index into tokens_buf
             tokens_buf,
             done,

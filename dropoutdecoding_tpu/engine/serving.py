@@ -126,16 +126,25 @@ class DecodeServer:
             uncertainty={},
         )
         T = carry["tokens_buf"].shape[1]
-        first_done = ps.first_token[row] == self.engine.gen.eos_token_id
+        if self.engine.gen.do_sample:
+            # match solo _decode_loop_impl: the first emitted token is a
+            # draw from the prompt logits (step key 0, the request's own
+            # rng stream); the overlap source stays the argmax below
+            emit = self.engine._sample_rows(
+                jnp.zeros((1,), jnp.int32),
+                ps.rng_id[row][None],
+                ps.last_logits[row][None],
+            )[0]
+        else:
+            emit = ps.first_token[row]
+        first_done = emit == self.engine.gen.eos_token_id
         buf = jnp.full((T,), self.engine.gen.pad_token_id, jnp.int32)
         new_carry = dict(
             cur_len=carry["cur_len"].at[slot].set(ps.cur_len[row]),
-            token=carry["token"].at[slot].set(ps.first_token[row]),
+            token=carry["token"].at[slot].set(emit),
             steps=carry["steps"].at[slot].set(1),
             done=carry["done"].at[slot].set(first_done),
-            tokens_buf=carry["tokens_buf"].at[slot].set(
-                buf.at[0].set(ps.first_token[row])
-            ),
+            tokens_buf=carry["tokens_buf"].at[slot].set(buf.at[0].set(emit)),
             tm=TextMaskState(
                 carry["tm"].prob.at[slot].set(0.0),
                 carry["tm"].ent.at[slot].set(0.0),
@@ -182,12 +191,18 @@ class DecodeServer:
         )
         T = carry["tokens_buf"].shape[1]
         Bn = ps.first_token.shape[0]
-        first_done = ps.first_token == eng.gen.eos_token_id
+        if eng.gen.do_sample:
+            emit = eng._sample_rows(
+                jnp.zeros((Bn,), jnp.int32), ps.rng_id, ps.last_logits
+            )
+        else:
+            emit = ps.first_token
+        first_done = emit == eng.gen.eos_token_id
         bufs = jnp.full((Bn, T), eng.gen.pad_token_id, jnp.int32)
-        bufs = bufs.at[:, 0].set(ps.first_token)
+        bufs = bufs.at[:, 0].set(emit)
         new_carry = dict(
             cur_len=carry["cur_len"].at[slots].set(ps.cur_len),
-            token=carry["token"].at[slots].set(ps.first_token),
+            token=carry["token"].at[slots].set(emit),
             steps=carry["steps"].at[slots].set(1),
             done=carry["done"].at[slots].set(first_done),
             tokens_buf=carry["tokens_buf"].at[slots].set(bufs),

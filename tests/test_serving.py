@@ -202,3 +202,34 @@ def test_server_int4_weights(tiny_llava, rng):
         np.testing.assert_array_equal(
             results[rid], expected[rid][: len(results[rid])], err_msg=rid
         )
+
+
+def test_server_do_sample_matches_solo(tiny_llava, rng):
+    """Sampled decoding through the server == solo sampled generation:
+    the placement program draws the first token from the prompt logits
+    with the same (seed, step 0, rng stream) key the solo loop uses, and
+    per-step draws key off per-slot steps/rng_id."""
+    _, cfg, params, _, _, _ = tiny_llava
+    gen_s = GenerationConfig(
+        max_new_tokens=6, eos_token_id=-1, pad_token_id=0,
+        do_sample=True, temperature=3.0,
+    )
+    eng = _engine(cfg, params, gen=gen_s)
+    reqs = _requests(rng, 3)
+    expected = {
+        rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()
+    }
+    server = DecodeServer(engine=eng, n_slots=2)
+    results = server.run(list(reqs), lambda rid: reqs[rid])
+    for rid in reqs:
+        np.testing.assert_array_equal(
+            results[rid], expected[rid][: len(results[rid])], err_msg=rid
+        )
+    # batched placement path too
+    server2 = DecodeServer(engine=eng, n_slots=4)
+    results2 = server2.run(list(reqs), lambda rid: reqs[rid],
+                           batch_prefill=True)
+    for rid in reqs:
+        np.testing.assert_array_equal(
+            results2[rid], expected[rid][: len(results2[rid])], err_msg=rid
+        )
