@@ -765,6 +765,34 @@ def run_once(n_layers):
             f"=> {8 / bestx:.1f} questions/s/chip",
             file=sys.stderr, flush=True,
         )
+
+        # prefix-cached POPE at NeXT shape: the [text-prefix + packed
+        # anyres tiles] span is ~2,900 of the ~2,930 merged tokens, so 1
+        # prefix prefill + 1 batched ~32-token extend per image replaces
+        # 6 full 2.9k-token prefills (cli/pope_test.py --prefix-cache).
+        prefix_ids_x = np.zeros((1, 8), np.int32)
+        prefix_ids_x[0] = [1] + list(rngx.integers(4, 1000, 7))
+        prefix_ids_x[0, 3] = xcfg.image_token_index
+        tails_x = rngx.integers(4, 1000, (8, 32)).astype(np.int32)
+        tlens_x = rngx.integers(26, 33, 8).astype(np.int32)
+        hx = xeng.probe_prefix(prefix_ids_x, u_tiles[0], u_sizes[0])
+        rx = xeng.probe_extend(hx, tails_x, tlens_x)
+        _fetch(rx.first_token)
+        bestpx = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            hx = xeng.probe_prefix(prefix_ids_x, u_tiles[0], u_sizes[0])
+            rx = xeng.probe_extend(hx, tails_x, tlens_x)
+            _fetch(rx.first_token)
+            bestpx = min(bestpx, time.perf_counter() - t0)
+        bestpx = max(bestpx - ov, bestpx / 2)
+        print(
+            f"prefix-cached POPE llava-next shape (w8a8, 1 prefix + 6 "
+            f"questions/image): {bestpx * 1000:.1f} ms/image => "
+            f"{6 / bestpx:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+        del hx, rx
         del xeng, xparams, xproto, r, nlm, nparams, nproto
         gc.collect()
     except Exception as e:

@@ -85,6 +85,17 @@ def main(args):
     # (reference pope_test.py:149-154); map to chair_test naming.
     model_key = {"llava": "llava-1.5", "llava-next": "llava-next",
                  "instructblip": "instructblip"}[args.model]
+    if str2bool(getattr(args, "prefix_cache", False)) and model_key == "instructblip":
+        # fail before the model loads — the constraint is structural
+        raise SystemExit(
+            "--prefix-cache cannot apply to InstructBLIP: its Q-Former "
+            "reads the question text (reference instructblip.py:617-631 "
+            "passes qformer_input_ids), so the 32 visual tokens — the "
+            "START of the merged sequence — differ per question and no "
+            "shared LM prefix exists.  Use --batch-size instead: the "
+            "batched probe already runs the EVA-ViT-g tower once per "
+            "unique image (the expensive shared stage)."
+        )
     from argparse import Namespace
 
     from .chair_test import make_engine, run_engine
@@ -137,12 +148,6 @@ def main(args):
 
         batch = max(getattr(args, "batch_size", 1) or 1, 1)
         use_prefix = str2bool(getattr(args, "prefix_cache", False))
-        if use_prefix and model_key != "llava-1.5":
-            raise SystemExit(
-                "--prefix-cache currently supports --model llava only "
-                "(LLaVA-NeXT/InstructBLIP prefixes need their own merge "
-                "paths)"
-            )
         if use_prefix:
             # Prefix caching: POPE asks ~6 consecutive questions per
             # image whose merged prompts share everything up to the
@@ -170,11 +175,19 @@ def main(args):
                 else:
                     groups.append((q["image"], [q]))
             QPAD = 8  # tail-row bucket (one compile per tail-len bucket)
+            from .chair_test import next_image_prep
+
             for image_name, qs in tqdm(groups):
                 image = Image.open(
                     os.path.join(image_base, image_name)
                 ).convert("RGB")
-                rows, px = [], None
+                rows, px, tiles, orig = [], None, None, None
+                if model_key == "llava-next":
+                    # anyres tiles once per image; the packed-tile prefix
+                    # is ~2,900 of the ~2,930 merged tokens, so the cache
+                    # removes nearly the whole per-question prefill
+                    tiles, orig = next_image_prep(engine)(image)
+                    px = True  # text-only processor calls below
                 for q in qs:
                     prompt = POPE_PROMPTS[args.model].format(q["text"])
                     e = processor(prompt, image if px is None else None)
@@ -207,8 +220,13 @@ def main(args):
                 for i, t in enumerate(tails):
                     tail_ids[i, : len(t)] = t
                     lens[i] = len(t)
-                kv = engine.probe_prefix(rows[0][:p_use][None], px)
-                result = engine.probe_extend(kv, tail_ids, lens)
+                if model_key == "llava-next":
+                    handle = engine.probe_prefix(
+                        rows[0][:p_use][None], tiles, orig
+                    )
+                else:
+                    handle = engine.probe_prefix(rows[0][:p_use][None], px)
+                result = engine.probe_extend(handle, tail_ids, lens)
                 toks = np.asarray(result.first_token)[:Q]
                 for q, t in zip(qs, toks):
                     answers.append(
@@ -382,8 +400,11 @@ def build_parser():
         help="prefill the shared [text-prefix + image] span ONCE per "
         "image and run each question as a short extension over the "
         "cached KV (POPE asks ~6 questions per image; the prefix is "
-        "~580 of ~615 merged tokens at LLaVA-1.5 shapes).  Numerically "
-        "identical to the full probe.  --model llava only for now",
+        "~580 of ~615 merged tokens at LLaVA-1.5 shapes, ~2,900 of "
+        "~2,930 at LLaVA-NeXT's).  Numerically identical to the full "
+        "probe.  --model llava / llava-next (InstructBLIP's Q-Former "
+        "reads the question, so no shared LM prefix exists — use "
+        "--batch-size, which dedupes its ViT per unique image)",
     )
     return p
 

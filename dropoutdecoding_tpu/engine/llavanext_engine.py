@@ -122,6 +122,96 @@ class LlavaNextEngine(LlavaEngine):
             uncertainty=uncert,
         )
 
+    def _probe_prefix_impl(self, params, prefix_ids, tile_pixels, gather_idx,
+                           valid, image_pos):
+        """Prefix KV for probe_extend — the LLaVA-NeXT prefix cache.
+
+        The shared [text-prefix | packed anyres tiles | trailing shared
+        text] span is ~2,900 of the ~2,930 merged tokens at NeXT shapes,
+        so caching it once per image removes almost the entire per-
+        question prefill (the reference re-prefills the full prompt per
+        POPE question, pope_test.py:239-242).  The merged prefix is
+        static-padded past real_len; the key mask rides along and masks
+        the pad slots inside extend attention.
+
+        Returns (prefix KVCache [L, 1, S_pad, KH, Dh], real_len [1],
+        key_mask [1, S_pad])."""
+        cfg = self.cfg
+        packed = next_mod.pack_image_features_batched(
+            cfg, params, tile_pixels, gather_idx
+        )
+        text_embeds = llama_mod.embed(
+            params.lm,
+            jnp.where(prefix_ids == cfg.image_token_index, 0, prefix_ids),
+        )
+        merged, key_mask, real_len = next_mod.merge_with_text_batched(
+            text_embeds, packed, valid, image_pos, None
+        )
+        B, S, _ = merged.shape
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        _, kv = llama_mod.prefill(
+            params.lm, cfg.text, merged, positions, key_mask=key_mask,
+            w8a8=self.w8a8_prefill,
+        )
+        return kv, real_len.astype(jnp.int32), key_mask
+
+    def _probe_extend_impl(self, params, prefix_kv, prefix_len, key_mask,
+                           tail_ids, text_lens):
+        """Per-question tails over a cached NeXT prefix: rope positions
+        start at the row's REAL prefix length (pad slots sit at the end
+        of the static-padded prefix and are masked, not counted)."""
+        from .generate import ProbeResult
+
+        cfg = self.cfg
+        B, T = tail_ids.shape
+        emb = llama_mod.embed(params.lm, tail_ids)
+        positions = jnp.broadcast_to(
+            prefix_len[:, None] + jnp.arange(T)[None], (B, T)
+        )
+        hidden, _ = llama_mod.prefill_extend(
+            params.lm, cfg.text, emb, positions, prefix_kv,
+            w8a8=self.w8a8_prefill, prefix_mask=key_mask,
+        )
+        if text_lens is None:
+            last_hidden = hidden[:, -1]
+        else:
+            idx = jnp.clip(jnp.asarray(text_lens, jnp.int32) - 1, 0, T - 1)
+            last_hidden = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0]
+        last_logits = llama_mod.lm_head(params.lm, last_hidden)
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        return ProbeResult(first_token=first_token, last_logits=last_logits)
+
+    def probe_prefix(self, prefix_ids, tile_pixels, original_size):
+        """Prefix cache handle (kv, real_len, key_mask) for probe_extend;
+        one image per call (B=1)."""
+        prefix_ids = np.asarray(prefix_ids)
+        tiles, gathers, valids = self._prep_images(
+            tile_pixels, original_size, prefix_ids.shape[0]
+        )
+        return self._probe_prefix(
+            self.params,
+            jnp.asarray(prefix_ids),
+            tiles,
+            gathers,
+            valids,
+            self._image_positions(prefix_ids),
+        )
+
+    def probe_extend(self, prefix, tail_ids, text_lens=None):
+        """1-token answers for question tails over a cached anyres prefix
+        (``prefix`` = the probe_prefix return)."""
+        kv, plen, kmask = prefix
+        return self._probe_extend(
+            self.params,
+            kv,
+            plen,
+            kmask,
+            jnp.asarray(tail_ids),
+            None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
+        )
+
     def _prep_images(self, tile_pixels, original_size, n_images):
         """Host-side anyres prep: per-image tile stacks (padded to the
         group's max tile count) + packing plans."""

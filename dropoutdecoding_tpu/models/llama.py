@@ -486,6 +486,7 @@ def prefill_extend(
     positions: jax.Array,
     prefix: KVCache,
     w8a8: bool = False,
+    prefix_mask=None,
 ):
     """Continued causal prefill over a shared prefix KV (prefix caching).
 
@@ -502,6 +503,8 @@ def prefill_extend(
       prefix: KVCache with [L, Bp, P, KH, Dh] leaves, Bp in {1, B} —
         Bp=1 broadcasts one image's prefix across all question rows with
         no copy.
+      prefix_mask: optional [Bp, P] bool validity — False = padding slot
+        inside a static-padded prefix (LLaVA-NeXT anyres prefixes).
     Returns:
       (hidden [B, T, D] final-norm output, tail KVCache [L, B, T, KH, Dh]).
     """
@@ -521,7 +524,7 @@ def prefill_extend(
         v = mm(h, lp["v_proj"]).reshape(B, T, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = extend_attention(q, k, v, pk, pv)
+        attn = extend_attention(q, k, v, pk, pv, prefix_mask)
         x = x + mm(attn.reshape(B, T, H * Dh), lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
         return x + _mlp(lp, h2, mm), (k, v)

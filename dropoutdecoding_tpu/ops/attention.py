@@ -251,6 +251,7 @@ def extend_attention(
     v_new: jax.Array,
     k_prefix: jax.Array,
     v_prefix: jax.Array,
+    prefix_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Continued-prefill attention: T new queries attend to a fully-visible
     shared prefix plus causally to themselves (prefix caching — the POPE
@@ -264,6 +265,9 @@ def extend_attention(
       k_prefix, v_prefix: [Bp, P, KH, D] with Bp in {1, B} — Bp=1 shares
         one prefix across all rows WITHOUT a [B, P, ...] copy (the einsum
         contracts the un-batched prefix directly).
+      prefix_mask: optional [Bp, P] bool — False slots are padding inside
+        the prefix (LLaVA-NeXT prefixes are static-padded past the real
+        anyres token count) and are masked out of the softmax.
     Returns:
       [B, T, H, D]
     """
@@ -283,6 +287,10 @@ def extend_attention(
             "btknd,bpkd->btknp", qg, k_prefix,
             preferred_element_type=jnp.float32,
         )
+    if prefix_mask is not None:
+        # [Bp, P] -> broadcast over (T, KH, n); Bp=1 broadcasts over B
+        pm = prefix_mask[:, None, None, None, :]
+        sp = jnp.where(pm, sp, _NEG_INF)
     st = jnp.einsum(
         "btknd,bskd->btkns", qg, k_new, preferred_element_type=jnp.float32
     )

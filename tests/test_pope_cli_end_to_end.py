@@ -365,3 +365,111 @@ def test_pope_cli_prefix_cache_matches_per_question(
     assert set(seq) == {"random", "popular", "adversarial"}
     for strategy in seq:
         assert seq[strategy] == pc[strategy], strategy
+
+
+def test_pope_cli_prefix_cache_llava_next(
+    synthetic_coco, tmp_path, monkeypatch
+):
+    """--prefix-cache for --model llava-next: the anyres-tile prefix KV +
+    per-question extends produce the same answer archives as the
+    per-question path."""
+    import time as _time
+
+    import jax
+
+    from dropoutdecoding_tpu.cli import chair_test as chair_cli
+    from dropoutdecoding_tpu.cli import pope_test as cli
+    from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+    from dropoutdecoding_tpu.models import llavanext as next_mod
+    from dropoutdecoding_tpu.utils.config import (
+        ClipVisionConfig,
+        EnsembleConfig,
+        GenerationConfig,
+        LlamaConfig,
+        LlavaNextConfig,
+    )
+
+    cfg = LlavaNextConfig(
+        text=LlamaConfig(
+            vocab_size=64, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=12,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=7,
+        ),
+        image_grid_pinpoints=((28, 56), (56, 28), (56, 56)),
+        image_token_index=32,
+    )
+    params = next_mod.init_params(cfg, jax.random.key(0), jnp.float32)
+
+    class _NextProcessor(_TinyProcessor):
+        def __call__(self, prompt, image=None):
+            extra = len(prompt) % 3
+            ids = np.array(
+                [[1, 5, self.cfg.image_token_index, 11, 13] + [7] * extra],
+                np.int32,
+            )
+            # pixel handling goes through next_image_prep, not here
+            return {"input_ids": ids}
+
+    def fake_make_engine(args):
+        eng = LlavaNextEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=2),
+            max_len=128,
+            ensemble=True,
+        )
+        eng.param_dtype = jnp.float32
+        return eng, _NextProcessor(cfg)
+
+    monkeypatch.setattr(chair_cli, "make_engine", fake_make_engine)
+
+    def run(pope_dir, extra_flags):
+        args = cli.build_parser().parse_args(
+            [
+                "--model", "llava-next",
+                "--model-path", "/unused",
+                "--coco-data-dir", str(synthetic_coco),
+                "--pope-dir", pope_dir,
+                "--refresh-data", "True",
+                "--number", "5",
+                "--seed", "0",
+            ]
+            + extra_flags
+        )
+        cli.main(args)
+        out = {}
+        ans_dir = os.path.join(pope_dir, "answer")
+        for f in os.listdir(ans_dir):
+            for strategy in ("random", "popular", "adversarial"):
+                if f.endswith(f"_{strategy}_ans.json"):
+                    with open(os.path.join(ans_dir, f)) as fh:
+                        out[strategy] = [json.loads(l) for l in fh]
+        return out
+
+    seq = run(str(tmp_path / "pope_seq"), [])
+    _time.sleep(1.1)
+    pc = run(str(tmp_path / "pope_pc"), ["--prefix-cache", "True"])
+    assert set(seq) == {"random", "popular", "adversarial"}
+    for strategy in seq:
+        assert seq[strategy] == pc[strategy], strategy
+
+
+def test_pope_cli_prefix_cache_rejects_instructblip(synthetic_coco, tmp_path):
+    from dropoutdecoding_tpu.cli import pope_test as cli
+
+    args = cli.build_parser().parse_args(
+        [
+            "--model", "instructblip",
+            "--model-path", "/unused",
+            "--coco-data-dir", str(synthetic_coco),
+            "--pope-dir", str(tmp_path / "pope"),
+            "--prefix-cache", "True",
+        ]
+    )
+    with pytest.raises(SystemExit, match="Q-Former"):
+        cli.main(args)

@@ -135,3 +135,67 @@ def test_engine_probe_prefix_extend_matches_probe(tiny_llava, rng):
             np.asarray(ref.last_logits[0]),
             rtol=1e-4, atol=1e-4, err_msg=f"row {qi}",
         )
+
+
+def test_llavanext_probe_prefix_extend_matches_probe(rng):
+    """LLaVA-NeXT prefix cache: probe_prefix (anyres tiles + shared text,
+    static-padded with a key mask) + probe_extend == full probe() per
+    question — answers and logits, incl. variable-length tails."""
+    import jax
+
+    from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+    from dropoutdecoding_tpu.models import llavanext as next_mod
+    from dropoutdecoding_tpu.utils.config import (
+        ClipVisionConfig,
+        EnsembleConfig,
+        GenerationConfig,
+        LlamaConfig,
+        LlavaNextConfig,
+    )
+
+    cfg = LlavaNextConfig(
+        text=LlamaConfig(
+            vocab_size=64, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=12,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=7,
+        ),
+        image_grid_pinpoints=((28, 56), (56, 28), (56, 56)),
+        image_token_index=32,
+    )
+    params = next_mod.init_params(cfg, jax.random.key(0), jnp.float32)
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(),
+        gen=GenerationConfig(max_new_tokens=1, eos_token_id=-1, pad_token_id=0),
+        max_len=128,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+
+    size = (40, 50)
+    geo = next_mod.image_geometry(size, cfg)
+    tiles = rng.normal(size=(geo["n_tiles"], 3, 28, 28)).astype(np.float32)
+    img = cfg.image_token_index
+    prefix = np.array([[1, 5, img, 9]], np.int32)
+    tails = np.array(
+        [[11, 13, 17, 0], [19, 23, 0, 0], [29, 31, 37, 41]], np.int32
+    )
+    text_lens = np.array([3, 2, 4], np.int32)
+
+    handle = eng.probe_prefix(prefix, tiles, size)
+    got = eng.probe_extend(handle, tails, text_lens)
+
+    for qi in range(3):
+        full = np.concatenate([prefix[0], tails[qi, : text_lens[qi]]])[None]
+        ref = eng.probe(full, tiles, size)
+        assert int(got.first_token[qi]) == int(ref.first_token[0]), qi
+        np.testing.assert_allclose(
+            np.asarray(got.last_logits[qi]),
+            np.asarray(ref.last_logits[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"row {qi}",
+        )

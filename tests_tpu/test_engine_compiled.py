@@ -161,3 +161,151 @@ def test_fused_generate_runs_compiled(small_engine):
     out = eng.generate(ids, px)
     assert out.tokens.shape == (2, 8)
     assert (out.tokens >= 0).all()
+
+
+def test_prefix_extend_matches_probe_compiled(small_engine):
+    """probe_prefix + probe_extend == probe on hardware (the
+    --prefix-cache POPE path): same answers where the top-2 margin
+    exceeds bf16 program-split noise."""
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(3)
+    img = cfg.image_token_index
+    prefix = np.array([[1, 5, img, 9, 12, 15]], np.int32)
+    Q, Tt = 4, 8
+    tails = rng.integers(3, 500, (Q, Tt)).astype(np.int32)
+    lens = rng.integers(5, Tt + 1, Q).astype(np.int32)
+    sz = cfg.vision.image_size
+    px = rng.normal(size=(1, 3, sz, sz)).astype(np.float32)
+
+    kv = eng.probe_prefix(prefix, px)
+    got = eng.probe_extend(kv, tails, lens)
+
+    full_rows = [
+        np.concatenate([prefix[0], tails[q, : lens[q]]]) for q in range(Q)
+    ]
+    S = max(len(r) for r in full_rows)
+    ids = np.zeros((Q, S), np.int32)
+    flens = np.array([len(r) for r in full_rows], np.int32)
+    for i, r in enumerate(full_rows):
+        ids[i, : len(r)] = r
+    ref = eng.probe(ids, np.repeat(px, Q, 0), text_lens=flens)
+
+    la = np.asarray(ref.last_logits)
+    lb = np.asarray(got.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 2e-2, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    margin = (top2[:, 1] - top2[:, 0]) / scale
+    decisive = margin > 2 * noise
+    assert decisive.any()
+    np.testing.assert_array_equal(
+        np.asarray(got.first_token)[decisive],
+        np.asarray(ref.first_token)[decisive],
+    )
+
+
+def test_sampled_decode_topk1_equals_greedy_compiled(small_engine):
+    """do_sample with top_k=1 == greedy on hardware — the warp +
+    categorical draw run inside the compiled while_loop."""
+    from dataclasses import replace as _replace
+
+    from dropoutdecoding_tpu.utils.config import GenerationConfig
+
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(4)
+    ids, px, _ = _inputs(cfg, 2, rng)
+    base = eng.generate(ids, px)
+    es = _replace(eng)
+    es.gen = GenerationConfig(
+        max_new_tokens=8, eos_token_id=-1, pad_token_id=0,
+        do_sample=True, top_k=1, temperature=0.7,
+    )
+    es.__post_init__()
+    sampled = es.generate(ids, px)
+    np.testing.assert_array_equal(base.tokens, sampled.tokens)
+
+
+def test_llavanext_prefix_extend_compiled():
+    """LLaVA-NeXT prefix cache on hardware: the static-padded anyres
+    prefix + key-masked extend produce probe-consistent answers."""
+    from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+    from dropoutdecoding_tpu.models import llavanext as next_mod
+    from dropoutdecoding_tpu.utils.config import (
+        ClipVisionConfig,
+        EnsembleConfig,
+        GenerationConfig,
+        LlamaConfig,
+        LlavaNextConfig,
+    )
+
+    cfg = LlavaNextConfig(
+        text=LlamaConfig(
+            vocab_size=512,
+            hidden_size=512,
+            intermediate_size=1024,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=128,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=128,
+            intermediate_size=256,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=56,
+            patch_size=14,
+        ),
+        image_grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+        image_token_index=510,
+    )
+    params = next_mod.init_params(cfg, jax.random.key(1), jnp.bfloat16)
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(),
+        gen=GenerationConfig(max_new_tokens=1, eos_token_id=-1, pad_token_id=0),
+        max_len=256,
+        ensemble=False,
+        seed=506,
+    )
+
+    rng = np.random.default_rng(5)
+    size = (80, 100)
+    geo = next_mod.image_geometry(size, cfg)
+    tiles = rng.normal(size=(geo["n_tiles"], 3, 56, 56)).astype(np.float32)
+    img = cfg.image_token_index
+    prefix = np.array([[1, 5, img, 9]], np.int32)
+    Q, Tt = 3, 6
+    tails = rng.integers(3, 500, (Q, Tt)).astype(np.int32)
+    lens = rng.integers(4, Tt + 1, Q).astype(np.int32)
+
+    handle = eng.probe_prefix(prefix, tiles, size)
+    got = eng.probe_extend(handle, tails, lens)
+
+    full_rows = [
+        np.concatenate([prefix[0], tails[q, : lens[q]]]) for q in range(Q)
+    ]
+    S = max(len(r) for r in full_rows)
+    ids = np.zeros((Q, S), np.int32)
+    flens = np.array([len(r) for r in full_rows], np.int32)
+    for i, r in enumerate(full_rows):
+        ids[i, : len(r)] = r
+    ref = eng.probe(
+        ids, [tiles] * Q, [size] * Q, text_lens=flens
+    )
+
+    la = np.asarray(ref.last_logits)
+    lb = np.asarray(got.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 2e-2, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    margin = (top2[:, 1] - top2[:, 0]) / scale
+    decisive = margin > 2 * noise
+    assert decisive.any()
+    np.testing.assert_array_equal(
+        np.asarray(got.first_token)[decisive],
+        np.asarray(ref.first_token)[decisive],
+    )
