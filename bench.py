@@ -86,9 +86,17 @@ def build_state(engine, cfg, key, B=1, prompt_len=None):
         # generate the synthetic cache directly in int8 layout: no bf16
         # transient (at B=16 x 7B the bf16 K+V would be ~5 GB)
         def leaf(k):
+            # int8 cache layout (models/llama.KVCache): q head-flattened
+            # [L,B,S,KH*D], scales head-major [L,B,KH,S]
             return {
-                "q": jax.random.randint(k, shape, -127, 128, jnp.int8),
-                "s": jnp.full(shape[:-1] + (1,), 1.0 / 127, jnp.float32),
+                "q": jax.random.randint(
+                    k, shape[:3] + (shape[3] * shape[4],), -127, 128, jnp.int8
+                ),
+                "s": jnp.full(
+                    (shape[0], shape[1], shape[3], shape[2]),
+                    1.0 / 127,
+                    jnp.float32,
+                ),
             }
 
         cache = llama_mod.KVCache(leaf(ks[0]), leaf(ks[1]))
@@ -140,14 +148,25 @@ def time_decode(engine, state, params, overhead=0.0, repeats=2):
     the fixed dispatch overhead.  Linearity checked empirically: decode
     wall time vs token count fits a + b*T with a == the trivial-program
     round-trip measured above (see DESIGN.md round-2 notes)."""
-    tokens, _ = engine._decode(params, state)
+    # the donated entry (the production generate() path): the cache input
+    # buffer aliases the returned final cache instead of being copied at
+    # dispatch entry (8.2 ms + 5.4 GB at the batch-16 int8 stretch shape).
+    # Donate a working COPY of the cache (one-time cost, outside the timed
+    # window) so the caller's state stays reusable across engines, and
+    # thread the returned final cache into the next timing rep.
+    import jax
+
+    rest = state._replace(cache=None)
+    fc = jax.tree.map(lambda a: a.copy(), state.cache)
+    tokens, _, fc = engine._decode_d(params, fc, rest)
     _fetch(tokens[:, -1])  # cold run
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        tokens, _ = engine._decode(params, state)
+        tokens, _, fc = engine._decode_d(params, fc, rest)
         _fetch(tokens[:, -1])
         best = min(best, time.perf_counter() - t0)
+    del fc
     # The dispatch runs max_new_tokens-1 decode steps: tokens_buf[:, 0] is
     # the prefill's argmax and the while_loop starts at step index 1
     # (engine/generate.py:472-486).  Divide by the steps actually timed.

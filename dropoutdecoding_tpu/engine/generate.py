@@ -210,6 +210,25 @@ class LlavaEngine:
         self._probe_prefix = jax.jit(self._probe_prefix_impl)
         self._probe_extend = jax.jit(self._probe_extend_impl)
         self._decode = jax.jit(self._decode_loop_impl)
+        # Donated variant used by generate(): without donation XLA copies
+        # EVERY cache leaf at dispatch entry because the while-loop body
+        # scatters into a non-donated input buffer (profiled: 2 x 4.1 ms
+        # and 2 x 2.68 GB transient for the batch-16 int8 stretch config).
+        # Only the cache is donated (passed as its own argument; the rest
+        # of the state stays valid on the caller side) and the final cache
+        # is returned so the input buffer aliases an output.  Call as
+        #   tokens, steps, fc = self._decode_d(
+        #       params, state.cache, state._replace(cache=None))
+        # treating state.cache as CONSUMED; to decode again from the same
+        # prefill, rebind cache=fc (same shapes; bench.py time_decode
+        # does this).  Tools that re-decode a state verbatim
+        # (cli/fused_gap.py) keep the non-donating _decode.
+        self._decode_d = jax.jit(
+            lambda params, cache, state_rest: self._decode_loop_impl(
+                params, state_rest._replace(cache=cache), return_cache=True
+            ),
+            donate_argnums=(1,),
+        )
 
     @property
     def n_visual(self) -> int:
@@ -605,7 +624,7 @@ class LlavaEngine:
             new_prev_logits0,
         )
 
-    def _decode_loop_impl(self, params, state: PrefillState):
+    def _decode_loop_impl(self, params, state: PrefillState, return_cache=False):
         B = state.first_token.shape[0]
         T = self.gen.max_new_tokens
         if self.gen.do_sample:
@@ -655,6 +674,8 @@ class LlavaEngine:
 
         carry = jax.lax.while_loop(cond, body, carry)
         tokens_buf, steps = carry[4], carry[3]
+        if return_cache:
+            return tokens_buf, jnp.max(steps), carry[0]
         return tokens_buf, jnp.max(steps)
 
     # ------------------------------------------------------------------
@@ -702,7 +723,9 @@ class LlavaEngine:
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:
         state = self.prefill(input_ids, pixel_values)
-        tokens, steps = self._decode(self.params, state)
+        tokens, steps, _ = self._decode_d(
+            self.params, state.cache, state._replace(cache=None)
+        )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         num = np.array(

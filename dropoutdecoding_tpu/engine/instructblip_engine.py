@@ -156,7 +156,9 @@ class InstructBlipEngine(LlavaEngine):
         if qformer_input_ids is None:
             qformer_input_ids = input_ids
         state = self.prefill(input_ids, pixel_values, qformer_input_ids)
-        tokens, steps = self._decode(self.params, state)
+        tokens, steps, _ = self._decode_d(
+            self.params, state.cache, state._replace(cache=None)
+        )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         from .generate import GenerationResult

@@ -302,7 +302,9 @@ class LlavaNextEngine(LlavaEngine):
 
     def generate(self, input_ids, tile_pixels, original_size):
         state = self.prefill(input_ids, tile_pixels, original_size)
-        tokens, steps = self._decode(self.params, state)
+        tokens, steps, _ = self._decode_d(
+            self.params, state.cache, state._replace(cache=None)
+        )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         num = np.array(

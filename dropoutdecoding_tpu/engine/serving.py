@@ -90,7 +90,13 @@ class DecodeServer:
             ),
         )
         self._requests: List[Optional[Any]] = [None] * S
-        self._step_fn = jax.jit(self._step_impl, static_argnums=(3,))
+        # donate the decode carry (whose first element is the slot cache):
+        # without it XLA copies the whole cache at EVERY step(n) dispatch
+        # entry (the fori body scatters into a non-donated input); state
+        # is passed cache-less since _one_step never reads state.cache
+        self._step_fn = jax.jit(
+            self._step_impl, static_argnums=(3,), donate_argnums=(2,)
+        )
         # donate the old slot state/carry: the update would otherwise hold
         # two full copies of the slot cache in HBM transiently
         self._place_fn = jax.jit(self._place_impl, donate_argnums=(0, 1))
@@ -308,7 +314,9 @@ class DecodeServer:
             c["prev_argmax0"],
             c["prev_logits0"],
         )
-        out = self._step_fn(self.engine.params, self._state, carry, n)
+        out = self._step_fn(
+            self.engine.params, self._state._replace(cache=None), carry, n
+        )
         (cache, cur_len, token, steps, tokens_buf, done, tm, prev_argmax0,
          prev_logits0) = out
         self._state = self._state._replace(cache=cache)

@@ -37,10 +37,24 @@ class KVCache(NamedTuple):
     """Canonical cache: [L, B, Smax, KH, D] each.
 
     Leaves are either dense arrays or, for the int8 cache, dicts
-    ``{"q": int8 [L,B,S,KH,D], "s": f32 [L,B,S,KH,1]}`` (per-(token, head)
-    symmetric scales, utils/quantize.quantize_kv).  All cache plumbing goes
-    through the ``cache_*`` helpers below so both layouts flow through the
-    same engine code; ``decode_step`` dispatches on the leaf type.
+    ``{"q": int8 [L,B,S,KH*D], "s": f32 [L,B,KH,S]}`` (per-(token, head)
+    symmetric scales, utils/quantize.quantize_kv).  Both int8-leaf layouts
+    are chosen for the DECODE READER, because under TPU tiling "reshape"
+    and "relayout" are physical whole-array copies, not bitcasts:
+
+    - "q" stores the head axis FLATTENED into the minor dim — exactly the
+      [S, KH*D] panel the layered Pallas attention kernel streams.  Stored
+      5-D, the per-step reshape retiles the full cache (profiled at
+      2 x 4.9 ms/step on the batch-16 7B stretch config).
+    - "s" is head-major/position-minor ([B,KH,S] per layer, S on lanes) —
+      the per-head row the kernel's scale fold reads.  Stored
+      position-major, XLA inserts a relayout copy of both scale buffers
+      every step (profiled at 632 us/step).
+
+    All cache plumbing goes through the ``cache_*`` helpers below so both
+    layouts flow through the same engine code; ``decode_step`` dispatches
+    on the leaf type and reshapes per-layer slices back to [B,S,KH,D]
+    where the XLA ops need them (free outside TPU tiling).
     """
 
     k: jax.Array
@@ -80,10 +94,11 @@ def empty_cache(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
-    sshape = shape[:-1] + (1,)
+    qshape = shape[:3] + (shape[3] * shape[4],)  # [L, B, S, KH*D]
+    sshape = (shape[0], shape[1], shape[3], shape[2])  # [L, B, KH, S]
 
     def leaf():
-        return {"q": jnp.zeros(shape, jnp.int8), "s": jnp.ones(sshape, jnp.float32)}
+        return {"q": jnp.zeros(qshape, jnp.int8), "s": jnp.ones(sshape, jnp.float32)}
 
     return KVCache(leaf(), leaf())
 
@@ -92,20 +107,30 @@ def cache_is_quantized(cache: KVCache) -> bool:
     return isinstance(cache.k, dict)
 
 
-def _leaf_map(f, *leaves):
-    """Apply f across matching dense-or-{"q","s"} cache leaves."""
+def _leaf_map(f, *leaves, f_s=None):
+    """Apply f across matching dense-or-{"q","s"} cache leaves.
+
+    ``f_s``: override for the "s" leaf where the scale layout
+    ([L,B,KH,S] vs the int8 matrix's [L,B,S,KH,D]) needs different
+    index arithmetic; defaults to f."""
     if isinstance(leaves[0], dict):
-        return {n: f(*(leaf[n] for leaf in leaves)) for n in leaves[0]}
+        fs = {"q": f, "s": f_s or f}
+        return {n: fs[n](*(leaf[n] for leaf in leaves)) for n in leaves[0]}
     return f(*leaves)
 
 
 def _quantize_new(cache: KVCache, k_new: jax.Array, v_new: jax.Array):
-    """Bring unquantized new K/V into the cache's leaf layout."""
+    """Bring unquantized new K/V ([..., KH, D]-shaped) into the cache's
+    leaf layout: {"q": [..., KH*D] int8, "s": [..., KH, 1] f32}."""
     if not cache_is_quantized(cache):
         return k_new, v_new
     from ..utils.quantize import quantize_kv
 
-    return quantize_kv(k_new), quantize_kv(v_new)
+    def flat(d):
+        q = d["q"]
+        return {"q": q.reshape(q.shape[:-2] + (-1,)), "s": d["s"]}
+
+    return flat(quantize_kv(k_new)), flat(quantize_kv(v_new))
 
 
 def cache_seed(cache: KVCache, kv: KVCache) -> KVCache:
@@ -117,22 +142,72 @@ def cache_seed(cache: KVCache, kv: KVCache) -> KVCache:
             c, new.astype(c.dtype), 0, axis=2
         )
 
-    return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
+    def upd_s(c, new):  # c [L,B,KH,S]; new scales [L,B,S0,KH,1]
+        new_t = jnp.swapaxes(new[..., 0], 2, 3)  # -> [L,B,KH,S0]
+        return jax.lax.dynamic_update_slice_in_dim(c, new_t, 0, axis=3)
+
+    return KVCache(
+        _leaf_map(upd, cache.k, kn, f_s=upd_s),
+        _leaf_map(upd, cache.v, vn, f_s=upd_s),
+    )
 
 
 def cache_set_rows(
     cache: KVCache, cur_len: jax.Array, k_new: jax.Array, v_new: jax.Array
 ) -> KVCache:
     """Scatter the winner's new-token K/V ([L, B, KH, D], dense) into slot
-    ``cur_len[b]`` of each row — the engine's per-step cache append."""
+    ``cur_len[b]`` of each row — the engine's per-step cache append.
+
+    On single-device TPU the int8 "q" leaves append through an ALIASED
+    Pallas row-writer instead of an XLA scatter: the scatter emitter
+    assigns its output a layout the layered attention kernel's operand
+    constraint undoes with a whole-cache relayout copy every step
+    (profiled at 2 x 4.3 ms/step on the batch-16 7B stretch config).
+    Multi-device runs (GSPMD-partitioned caches — a bare pallas_call has
+    no partitioning rule) and non-TPU backends keep the scatter."""
     B = k_new.shape[1]
     rows = jnp.arange(B)
     kn, vn = _quantize_new(cache, k_new, v_new)
+    single_device = jax.device_count() == 1
 
     def upd(c, new):
         return c.at[:, rows, cur_len].set(new.astype(c.dtype))
 
-    return KVCache(_leaf_map(upd, cache.k, kn), _leaf_map(upd, cache.v, vn))
+    def upd_q(c, new):  # c [L, B, S, KH*D] int8 (flat layout)
+        if not single_device:
+            return upd(c, new)
+        from ..ops.pallas_decode_attention import cache_append_rows_int8
+
+        def _xla(c, new, cl):
+            return c.at[:, rows, cl].set(new)
+
+        return jax.lax.platform_dependent(
+            c,
+            new.astype(c.dtype),
+            cur_len,
+            tpu=cache_append_rows_int8,
+            default=_xla,
+        )
+
+    def upd_s(c, new):  # c [L,B,KH,S]; new scales [L,B,KH,1]
+        # elementwise select instead of a scatter: XLA's scatter emitter
+        # assigns the output a layout the attention reader disagrees with,
+        # inserting a whole-array relayout copy of BOTH scale buffers
+        # every decode step (profiled at 2 x 300 us on the batch-16
+        # stretch config); the select preserves the operand layout
+        S = c.shape[3]
+        hit = jnp.arange(S)[None, :] == cur_len[:, None]  # [B, S]
+        return jnp.where(hit[None, :, None, :], new, c)
+
+    def leaf(c, n):
+        if isinstance(c, dict):
+            return {"q": upd_q(c["q"], n["q"]), "s": upd_s(c["s"], n["s"])}
+        return upd(c, n)
+
+    return KVCache(
+        leaf(cache.k, kn),
+        leaf(cache.v, vn),
+    )
 
 
 def cache_copy_slots(dst: KVCache, src: KVCache, slots) -> KVCache:
@@ -535,7 +610,7 @@ def prefill_extend(
     return rms_norm(x, params["norm"], cfg.rms_norm_eps), KVCache(ks, vs)
 
 
-def _tp_attend(fn, mesh, n_cache_args):
+def _tp_attend(fn, mesh, arg_kinds):
     """Head-parallel shard_map wrapper for the ensemble decode attention
     ops (XLA or fused Pallas): under TP the cache's KH axis and q's H axis
     are sharded on "model" (parallel/mesh.py), attention is embarrassingly
@@ -544,16 +619,21 @@ def _tp_attend(fn, mesh, n_cache_args):
     GSPMD escape hatch for pl.pallas_call, which has no partitioning rule:
     inside shard_map the kernel sees local per-device shapes.
 
-    ``n_cache_args``: count of leading [B, ., heads, .]-shaped operands
-    after q (cache leaves + new-token K/V); the trailing operand is the
-    [B, M, S] mask, replicated over "model"."""
+    ``arg_kinds``: one char per operand — 'h' = [B, ., heads, .] (q, cache
+    int8/dense leaves, new-token K/V), 's' = [B, KH, S] scale leaves
+    (head axis at dim 1), 'm' = the [B, M, S] mask, replicated over
+    "model"."""
     from jax.sharding import PartitionSpec as P
 
-    head = P("data", None, "model", None)
-    in_specs = (head,) * (1 + n_cache_args) + (P("data", None, None),)
+    kind = {
+        "h": P("data", None, "model", None),
+        "s": P("data", "model", None),
+        "m": P("data", None, None),
+    }
+    in_specs = tuple(kind[k] for k in arg_kinds)
 
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=head, check_vma=False
+        fn, mesh=mesh, in_specs=in_specs, out_specs=kind["h"], check_vma=False
     )
 
 
@@ -593,7 +673,7 @@ def decode_step(
     # single-device execution: under the documented TP path
     # (parallel/mesh.py NamedSharding inputs, KV heads sharded on
     # "model") a bare pl.pallas_call inside the GSPMD-partitioned program
-    # would fail to compile or force full cache replication.  With a
+    # would fail to compile or force full replication.  With a
     # tp_mesh the shard_map wrapper below restores eligibility (local
     # shapes per shard); head/batch counts must divide the mesh.
     single_device = jax.device_count() == 1
@@ -608,20 +688,44 @@ def decode_step(
         H_l, KH_l = H // nm, KH // nm  # local head counts per shard
     else:
         H_l, KH_l = H, KH
-    fused_ok = (single_device or tp_sharded) and H_l // KH_l > 1 and Dh % 128 == 0
-    if quantized:
-        from ..ops.attention import ensemble_decode_attention_int8kv
+    Smax = (cache.k["q"] if quantized else cache.k).shape[2]
+    bf16_cache = (not quantized) and cache.k.dtype == jnp.bfloat16
 
+    from ..ops.attention import ensemble_decode_attention_int8kv
+    from ..ops.pallas_decode_attention import layered_supported
+
+    # Preferred single-device int8 path: the LAYERED Pallas kernel reads
+    # layer l's [B, S, KH*D] panel straight out of the full cache in HBM
+    # via scalar-prefetch block indexing, so the per-layer cache slice
+    # that the scan-over-slices structure materializes (a read+write copy
+    # of both K and V, profiled at 2 x 57 us/layer on the batch-16 LLaVA
+    # stretch config) never exists — and the score/softmax/PV chain stays
+    # in VMEM.  Measured per layer: 133-218 us at the MHA stretch shape
+    # vs the in-program XLA chain's ~395 us (incl. its slice copies), and
+    # 176 us at the GQA LLaVA-NeXT serving shape vs the sliced kernel's
+    # 117 us + ~133 us slice copies.  The gate is int8-only because only
+    # the int8 cache stores "q" head-flattened ([L,B,S,KH*D]) — for the
+    # 5-D dense cache the kernel-side reshape would RETILE the whole
+    # cache every step (profiled at 2 x 4.9 ms/step), so bf16 keeps the
+    # sliced fused kernel.  fp32 caches (bit-parity runs) and tiny test
+    # head dims keep the XLA ops; TP meshes keep the sliced shard_map
+    # path (the full-cache operand would have to be re-gathered per
+    # shard).
+    use_layered = single_device and quantized and layered_supported(Smax, Dh)
+    fused_ok = (
+        not use_layered
+        and (single_device or tp_sharded)
+        and H_l // KH_l > 1
+        and Dh % 128 == 0
+    )
+    if quantized and not use_layered:
         if fused_ok:
-            # GQA (Mistral / LLaVA-NeXT): the XLA path's repeat_kv
-            # materializes an n_rep-times bf16 copy of the int8 cache per
-            # step; the fused Pallas kernel streams the int8 cache once and
-            # keeps scores in VMEM — measured 11x faster at the
-            # LLaVA-NeXT serving shape (B=8, S=3328, KH=8).  At KH == H
-            # XLA's lane-packed batched GEMV wins, so only GQA dispatches
-            # to the kernel (ops/pallas_decode_attention.py header).  The
-            # kernel's head-panel reshape needs lane-width head_dim
-            # (128 for every production model; tiny test configs fall back).
+            # GQA under TP (or shapes the layered gate rejects): the XLA
+            # path's repeat_kv materializes an n_rep-times bf16 copy of
+            # the int8 cache per step; the sliced Pallas kernel streams
+            # the int8 cache once per (row, layer).  At KH == H its
+            # (B, KH)-cell geometry loses to XLA's batched GEMV, so only
+            # GQA dispatches here (ops/pallas_decode_attention.py header).
             from ..ops.pallas_decode_attention import (
                 ensemble_decode_attention_int8kv_fused,
             )
@@ -634,18 +738,14 @@ def decode_step(
                 )
 
             if tp_sharded:
-                _int8_attend = _tp_attend(_int8_attend, tp_mesh, 6)
+                _int8_attend = _tp_attend(_int8_attend, tp_mesh, "hhshshhm")
         else:
             _int8_attend = ensemble_decode_attention_int8kv
 
-    if (
-        not quantized
-        and fused_ok
-        and cache.k.dtype == jnp.bfloat16  # fp32 parity runs keep XLA
-    ):
+    if bf16_cache and not use_layered and fused_ok:
         # same repeat_kv expansion waste on the dense-cache path (measured
         # 2679 us vs a 133 us read floor at the LLaVA-NeXT serving shape,
-        # 288 vs 17 us even at B=1 M=4 — the default LLaVA-NeXT decode)
+        # 288 vs 17 us even at B=1 M=4)
         from ..ops.pallas_decode_attention import (
             ensemble_decode_attention_fused,
         )
@@ -658,32 +758,91 @@ def decode_step(
             )
 
         if tp_sharded:
-            _dense_attend = _tp_attend(_dense_attend, tp_mesh, 4)
+            _dense_attend = _tp_attend(_dense_attend, tp_mesh, "hhhhhm")
     else:
         _dense_attend = ensemble_decode_attention
 
-    def layer(xc, scanned):
-        lp, kc, vc = scanned
+    if use_layered:
+        from ..ops.pallas_decode_attention import (
+            ensemble_decode_attention_int8kv_layered,
+        )
+
+        def _pallas_layered(li, q, k, v):
+            return ensemble_decode_attention_int8kv_layered(
+                li, q, cache.k["q"], cache.k["s"],
+                cache.v["q"], cache.v["s"], k, v, key_mask,
+            )
+
+        # non-TPU backends (CPU tests) run the same layer-indexed
+        # structure through the XLA op on a dynamic slice of the full
+        # cache — identical numerics, no Pallas (the [B,S,KH*D] ->
+        # [B,S,KH,D] reshape is free outside TPU tiling)
+        def _xla_layered(li, q, k, v):
+            idx = lambda a: jax.lax.dynamic_index_in_dim(
+                a, li, 0, keepdims=False
+            )
+            return ensemble_decode_attention_int8kv(
+                q,
+                idx(cache.k["q"]).reshape(B, Smax, KH, Dh),
+                idx(cache.k["s"]),
+                idx(cache.v["q"]).reshape(B, Smax, KH, Dh),
+                idx(cache.v["s"]),
+                k,
+                v,
+                key_mask,
+            )
+
+        def _attend_layered(li, q, k, v):
+            return jax.lax.platform_dependent(
+                li, q, k, v, tpu=_pallas_layered, default=_xla_layered
+            )
+
+    def _layer_math(lp, xc, attend):
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
         q = _mm(h, lp["q_proj"]).reshape(B, M, H, Dh)
         k = _mm(h, lp["k_proj"]).reshape(B, M, KH, Dh)
         v = _mm(h, lp["v_proj"]).reshape(B, M, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if quantized:
-            attn = _int8_attend(
-                q, kc["q"], kc["s"], vc["q"], vc["s"], k, v, key_mask
-            )
-        else:
-            attn = _dense_attend(q, kc, vc, k, v, key_mask)
-        attn = attn.reshape(B, M, H * Dh)
+        attn = attend(q, k, v).reshape(B, M, H * Dh)
         xc = xc + _mm(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)
         xc = xc + _mlp(lp, h2)
         return xc, (k, v)
 
-    xf, (k_new, v_new) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v)
-    )
+    if use_layered:
+
+        def layer(xc, scanned):
+            lp, li = scanned
+            return _layer_math(
+                lp, xc, lambda q, k, v: _attend_layered(li, q, k, v)
+            )
+
+        L = (cache.k["q"] if quantized else cache.k).shape[0]
+        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    else:
+
+        def layer(xc, scanned):
+            lp, kc, vc = scanned
+
+            def attend(q, k, v):
+                if quantized:
+                    return _int8_attend(
+                        q,
+                        kc["q"].reshape(B, Smax, KH, Dh),
+                        kc["s"],
+                        vc["q"].reshape(B, Smax, KH, Dh),
+                        vc["s"],
+                        k,
+                        v,
+                        key_mask,
+                    )
+                return _dense_attend(q, kc, vc, k, v, key_mask)
+
+            return _layer_math(lp, xc, attend)
+
+        xs = (params["layers"], cache.k, cache.v)
+
+    xf, (k_new, v_new) = jax.lax.scan(layer, x, xs)
     hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
     return hidden, k_new, v_new

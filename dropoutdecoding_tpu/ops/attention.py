@@ -89,11 +89,11 @@ def ensemble_decode_attention_int8kv(
     fold into the score AFTER the int8->bf16 dot (score_s *= ks_s), and
     per-value scales fold into the probabilities BEFORE the PV dot
     (p_s *= vs_s) — so the HBM stream is the int8 cache + tiny scales.
-    Experimental: engine integration is a round-2 item; numerics validated
-    in tests/test_quantize.py.
+    Numerics validated in tests/test_quantize.py.
 
     Args:
-      q: [B, M, H, D]; kq/vq: [B, S, KH, D] int8; ks/vs: [B, S, KH, 1] f32;
+      q: [B, M, H, D]; kq/vq: [B, S, KH, D] int8; ks/vs: [B, KH, S] f32
+      (the cache's stored scale layout, models/llama.KVCache);
       k_new/v_new: [B, M, KH, D] (unquantized current token);
       key_mask: [B, M, S].
     """
@@ -102,8 +102,8 @@ def ensemble_decode_attention_int8kv(
     n_rep = H // KH
     kc = repeat_kv(kq.astype(q.dtype), n_rep)  # int8 -> activation dtype
     vc = repeat_kv(vq.astype(q.dtype), n_rep)
-    ksr = repeat_kv(ks, n_rep)[..., 0]  # [B, S, H]
-    vsr = repeat_kv(vs, n_rep)[..., 0]
+    ksr = jnp.repeat(ks, n_rep, axis=1) if n_rep > 1 else ks  # [B, H, S]
+    vsr = jnp.repeat(vs, n_rep, axis=1) if n_rep > 1 else vs
     kn = repeat_kv(k_new, n_rep)
     vn = repeat_kv(v_new, n_rep)
 
@@ -112,7 +112,7 @@ def ensemble_decode_attention_int8kv(
         jnp.einsum("bmhd,bshd->bmhs", q, kc, preferred_element_type=jnp.float32)
         * scale
     )
-    cache_scores = cache_scores * ksr.transpose(0, 2, 1)[:, None]  # fold k scales
+    cache_scores = cache_scores * ksr[:, None]  # fold k scales [B,1,H,S]
     cache_scores = jnp.where(
         key_mask[:, :, None, :].astype(bool), cache_scores, _NEG_INF
     )
@@ -122,7 +122,7 @@ def ensemble_decode_attention_int8kv(
     )[..., None]
     all_scores = jnp.concatenate([cache_scores, self_scores], axis=-1)
     probs = jax.nn.softmax(all_scores, axis=-1)
-    cache_probs = probs[..., :-1] * vsr.transpose(0, 2, 1)[:, None]  # fold v scales
+    cache_probs = probs[..., :-1] * vsr[:, None]  # fold v scales [B,1,H,S]
     out = jnp.einsum(
         "bmhs,bshd->bmhd",
         cache_probs.astype(vc.dtype),

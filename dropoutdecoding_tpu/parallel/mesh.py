@@ -170,12 +170,20 @@ def shard_llava_params(params, mesh: Mesh):
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     spec = P(None, "data", None, "model", None)  # [L, B, S, KH, D]
     sharding = NamedSharding(mesh, spec)
+    # int8 leaves (models/llama.KVCache decode-reader layouts):
+    # "q" [L, B, S, KH*D] — sharding the head-FLATTENED minor axis on
+    # "model" splits it into contiguous (KH/n_model)*D chunks, i.e. whole
+    # head panels, identical data placement to sharding the KH axis of
+    # the 5-D layout; "s" [L, B, KH, S] carries KH at dim 2.
+    q_sharding = NamedSharding(mesh, P(None, "data", None, "model"))
+    s_sharding = NamedSharding(mesh, P(None, "data", "model", None))
 
     def put(leaf):
-        # int8 cache leaves are {"q": [L,B,S,KH,D], "s": [L,B,S,KH,1]};
-        # both carry the KH axis at dim 3, so the same spec applies.
         if isinstance(leaf, dict):
-            return {n: jax.device_put(a, sharding) for n, a in leaf.items()}
+            return {
+                "q": jax.device_put(leaf["q"], q_sharding),
+                "s": jax.device_put(leaf["s"], s_sharding),
+            }
         return jax.device_put(leaf, sharding)
 
     return KVCache(put(cache.k), put(cache.v))

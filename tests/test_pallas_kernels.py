@@ -90,8 +90,8 @@ def test_fused_int8_decode_attention_matches_xla(rng, KH):
     q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
     kq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
     vq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.01, 0.03, (B, KH, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.03, (B, KH, S)), jnp.float32)
     kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
     vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
     mask = jnp.asarray(rng.random((B, M, S)) < 0.7)
@@ -153,3 +153,78 @@ def test_int4_matmul_kernel_matches_dequant(rng, R, D, E, G):
     got = np.asarray(int4_matmul(x, wq["q4"], wq["s4"], out_dtype=jnp.float32))
     scale = np.max(np.abs(ref)) + 1e-9
     assert np.max(np.abs(ref - got)) / scale < 1e-2
+
+
+@pytest.mark.parametrize("KH", [2, 8])  # G = 8//KH > 1 and == 1 (MHA)
+def test_layered_int8_decode_attention_matches_xla(rng, KH):
+    """The layered kernels (full [L,...] cache in HBM, scalar-prefetch
+    layer indexing, head loop) vs the XLA op on each layer's slice."""
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention_int8kv
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_int8kv_layered,
+    )
+
+    L, B, M, H, D, S = 3, 2, 3, 8, 128, 96  # S%32==0, D%128==0 (gate)
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 128, (L, B, S, KH, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (L, B, S, KH, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.03, (L, B, KH, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.03, (L, B, KH, S)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, M, S)) < 0.7).at[:, :, 0].set(True)
+
+    for li in range(L):
+        ref = np.asarray(
+            ensemble_decode_attention_int8kv(
+                q, kq[li], ks[li], vq[li], vs[li], kn, vn, mask
+            ),
+            np.float32,
+        )
+        got = np.asarray(
+            ensemble_decode_attention_int8kv_layered(
+                jnp.int32(li),
+                q,
+                # the cache stores "q" head-flattened (models/llama.KVCache)
+                kq.reshape(*kq.shape[:3], -1),
+                ks,
+                vq.reshape(*vq.shape[:3], -1),
+                vs,
+                kn,
+                vn,
+                mask,
+            ),
+            np.float32,
+        )
+        scale = np.max(np.abs(ref)) + 1e-9
+        assert np.max(np.abs(ref - got)) / scale < 2e-2, li
+
+
+@pytest.mark.parametrize("KH", [2, 8])
+def test_layered_bf16_decode_attention_matches_xla(rng, KH):
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_layered,
+    )
+
+    L, B, M, H, D, S = 2, 2, 3, 8, 128, 64
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(L, B, S, KH, D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(L, B, S, KH, D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, M, S)) < 0.7).at[:, :, 0].set(True)
+
+    for li in range(L):
+        ref = np.asarray(
+            ensemble_decode_attention(q, kc[li], vc[li], kn, vn, mask),
+            np.float32,
+        )
+        got = np.asarray(
+            ensemble_decode_attention_layered(
+                jnp.int32(li), q, kc, vc, kn, vn, mask
+            ),
+            np.float32,
+        )
+        scale = np.max(np.abs(ref)) + 1e-9
+        assert np.max(np.abs(ref - got)) / scale < 2e-2, li

@@ -69,8 +69,11 @@ def test_int8_kv_attention_close_to_dense(rng):
     ref = ensemble_decode_attention(q, kc, vc, kn, vn, mask)
     kq = quantize_kv(kc)
     vq = quantize_kv(vc)
+    # scales go to the op in the cache's stored [B, KH, S] layout
+    ks = kq["s"][..., 0].transpose(0, 2, 1)
+    vs = vq["s"][..., 0].transpose(0, 2, 1)
     got = ensemble_decode_attention_int8kv(
-        q, kq["q"], kq["s"], vq["q"], vq["s"], kn, vn, mask
+        q, kq["q"], ks, vq["q"], vs, kn, vn, mask
     )
     err = np.abs(np.asarray(ref) - np.asarray(got))
     assert err.max() < 0.05, err.max()

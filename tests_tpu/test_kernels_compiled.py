@@ -35,8 +35,8 @@ def _mk_int8(rng, B, M, H, KH, D, S):
     q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
     kq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
     vq = jnp.asarray(rng.integers(-127, 128, (B, S, KH, D)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.01, 0.03, (B, S, KH, 1)), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.01, 0.03, (B, KH, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.03, (B, KH, S)), jnp.float32)
     kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
     vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
     mask = jnp.asarray(rng.random((B, M, S)) < 0.7).at[:, :, 0].set(True)
@@ -243,3 +243,74 @@ def test_int4_decode_tower_compiled(rng):
     ld = np.asarray(llama.lm_head(dense, hd[:, 0]), np.float32)
     scale = np.max(np.abs(ld)) + 1e-9
     assert np.max(np.abs(l4 - ld)) / scale < 2e-2
+
+
+@pytest.mark.parametrize(
+    "B,M,H,KH,S",
+    [(16, 9, 32, 32, 640), (2, 9, 32, 8, 3328)],  # MHA stretch / GQA serving
+)
+def test_layered_int8_decode_attention_compiled(rng, B, M, H, KH, S):
+    """Layered kernel (full cache in HBM, scalar-prefetch layer index)
+    vs the XLA op on the indexed slice, compiled at production shapes."""
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention_int8kv
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_int8kv_layered,
+    )
+
+    L, D = 3, 128
+    q, kq1, ks1, vq1, vs1, kn, vn, mask = _mk_int8(rng, B, M, H, KH, D, S)
+    kq = jnp.stack([jnp.roll(kq1, i, axis=1) for i in range(L)])
+    vq = jnp.stack([jnp.roll(vq1, i, axis=1) for i in range(L)])
+    ks = jnp.stack([jnp.roll(ks1, i, axis=2) for i in range(L)])
+    vs = jnp.stack([jnp.roll(vs1, i, axis=2) for i in range(L)])
+    for li in (0, L - 1):
+        ref = np.asarray(
+            ensemble_decode_attention_int8kv(
+                q, kq[li], ks[li], vq[li], vs[li], kn, vn, mask
+            ),
+            np.float32,
+        )
+        got = np.asarray(
+            ensemble_decode_attention_int8kv_layered(
+                jnp.int32(li),
+                q,
+                kq.reshape(*kq.shape[:3], -1),  # cache's head-flat layout
+                ks,
+                vq.reshape(*vq.shape[:3], -1),
+                vs,
+                kn,
+                vn,
+                mask,
+            ),
+            np.float32,
+        )
+        scale = np.max(np.abs(ref)) + 1e-9
+        assert np.max(np.abs(ref - got)) / scale < 2e-2, li
+
+
+def test_layered_bf16_decode_attention_compiled(rng):
+    from dropoutdecoding_tpu.ops.attention import ensemble_decode_attention
+    from dropoutdecoding_tpu.ops.pallas_decode_attention import (
+        ensemble_decode_attention_layered,
+    )
+
+    L, B, M, H, KH, D, S = 2, 2, 4, 32, 8, 128, 1024
+    q = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(L, B, S, KH, D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(L, B, S, KH, D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, M, KH, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, M, S)) < 0.7).at[:, :, 0].set(True)
+    for li in range(L):
+        ref = np.asarray(
+            ensemble_decode_attention(q, kc[li], vc[li], kn, vn, mask),
+            np.float32,
+        )
+        got = np.asarray(
+            ensemble_decode_attention_layered(
+                jnp.int32(li), q, kc, vc, kn, vn, mask
+            ),
+            np.float32,
+        )
+        scale = np.max(np.abs(ref)) + 1e-9
+        assert np.max(np.abs(ref - got)) / scale < 2e-2, li
