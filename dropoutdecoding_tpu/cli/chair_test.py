@@ -121,19 +121,37 @@ def make_engine(args):
         seed=args.seed if args.seed is not None else REFERENCE_SEEDS[model],
         text_logits_mask=str2bool(getattr(args, "text_logit_mask", False)),
         w8a8_prefill=getattr(args, "quantize", None) == "w8a8",
+        w8a8_decode=str2bool(getattr(args, "w8a8_decode", False)),
         int8_kv=str2bool(getattr(args, "int8_kv", False)),
     )
+    if common["w8a8_decode"] and getattr(args, "quantize", None) not in (
+        "int8", "w8a8",
+    ):
+        raise SystemExit(
+            "--w8a8-decode needs int8 weights: pass --quantize int8 or w8a8"
+        )
 
     def maybe_quantize(params):
         mode = getattr(args, "quantize", None)
         if mode in ("int8", "w8a8"):
             from ..utils.quantize import quantize_llama_params
 
-            return params._replace(lm=quantize_llama_params(params.lm))
-        if mode == "int4":
+            params = params._replace(lm=quantize_llama_params(params.lm))
+        elif mode == "int4":
             from ..utils.quantize import quantize_llama_params_int4
 
-            return params._replace(lm=quantize_llama_params_int4(params.lm))
+            params = params._replace(lm=quantize_llama_params_int4(params.lm))
+        # single-device runs fuse qkv/gate_up into one leaf each (pure
+        # weight-layout change, outputs identical — tests/test_fused_proj):
+        # the three small-output q/k/v fusions each pay a full XLA pipeline
+        # ramp per layer per step.  Mesh runs keep split leaves (TP shard
+        # specs are keyed on them).
+        import jax
+
+        if str2bool(getattr(args, "fuse_proj", True)) and jax.device_count() == 1:
+            from ..utils.quantize import fuse_projections
+
+            params = params._replace(lm=fuse_projections(params.lm))
         return params
 
     if model == "llava-1.5":
@@ -615,6 +633,24 @@ def build_parser():
         "'int4' = weight-only group-wise (g=128) clip-searched 4-bit "
         "projections with an int8 lm_head — near-halves the int8 decode "
         "weight stream (drift measured in cli/fused_gap.py --study int4)",
+    )
+    p.add_argument(
+        "--fuse-proj",
+        type=str2bool,
+        default=True,
+        help="fuse qkv and gate+up weight leaves on single-device runs "
+        "(identical outputs — a weight-layout change; "
+        "tests/test_fused_proj.py); mesh runs always keep split leaves",
+    )
+    p.add_argument(
+        "--w8a8-decode",
+        type=str2bool,
+        default=False,
+        help="int8-MXU DECODE projections (requires --quantize int8/w8a8): "
+        "a throughput lever for LARGE-BATCH decoding, where the "
+        "B*(K+1)-row projections are MXU-compute-bound (single-stream "
+        "decode is HBM-bound and gains nothing); accumulated drift "
+        "measured in cli/fused_gap.py --study w8a8decode",
     )
     p.add_argument(
         "--int8-kv",

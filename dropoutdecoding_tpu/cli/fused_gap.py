@@ -505,6 +505,78 @@ def run_w8a8_study(hidden, layers, vocab, n_prompts, n_seeds, T, model_seed=0):
     }
 
 
+def run_w8a8_decode_study(hidden, layers, vocab, n_prompts, n_seeds, T,
+                          model_seed=0):
+    """w8a8 DECODE projections (models/llama.decode_step(w8a8=True), the
+    int8-MXU feed for the compute-bound large-batch configs) vs the bf16
+    feed over IDENTICAL int8 weights.  Unlike the prefill study the
+    activation-quantization error here compounds across decode steps (each
+    step's hidden state feeds the next through the KV cache and token
+    choice), so the study reports token agreement against the method's
+    cross-seed noise floor.  Prefill is bf16-activation in BOTH arms."""
+    from ..utils.quantize import quantize_llama_params
+
+    cfg, params = _build(hidden, layers, vocab, model_seed)
+    qparams = params._replace(lm=quantize_llama_params(params.lm))
+    r = np.random.default_rng(model_seed)
+    img = cfg.image_token_index
+
+    prompts = []
+    for p in range(n_prompts):
+        ids = np.array(
+            [[1, int(r.integers(3, vocab - 3)), img,
+              int(r.integers(3, vocab - 3)), 5]], np.int32
+        )
+        px = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        prompts.append((ids, px))
+
+    def mk(w8a8, seed, ensemble=True):
+        e = _engine(cfg, qparams, fused=False, seed=seed, T=T, ensemble=ensemble)
+        e.w8a8_decode = w8a8
+        e.__post_init__()
+        return e
+
+    rows = []
+    for s in range(n_seeds):
+        seed = 24 + 1000 * s
+        arms = {
+            "a16": mk(False, seed),
+            "a8": mk(True, seed),
+            "a16_seed2": mk(False, seed + 7),
+            "g_a16": mk(False, seed, ensemble=False),
+            "g_a8": mk(True, seed, ensemble=False),
+        }
+
+        def gen(e, ids, px):
+            st = e.prefill(ids, px)
+            return np.asarray(e._decode(e.params, st)[0])[0]
+
+        for ids, px in prompts:
+            tok = {name: gen(e, ids, px) for name, e in arms.items()}
+            rows.append({
+                "a16_vs_a8": _agreement(tok["a16"], tok["a8"]),
+                "a16_vs_a16_seed": _agreement(tok["a16"], tok["a16_seed2"]),
+                "greedy_a16_vs_a8": _agreement(tok["g_a16"], tok["g_a8"]),
+            })
+
+    def summarize(key):
+        m = [r[key]["match_rate"] for r in rows]
+        pl = [r[key]["prefix_len"] for r in rows]
+        return {
+            "mean_match_rate": round(float(np.mean(m)), 4),
+            "mean_prefix_len": round(float(np.mean(pl)), 2),
+            "runs": len(m),
+        }
+
+    return {
+        "config": {"hidden": hidden, "layers": layers, "vocab": vocab,
+                   "prompts": n_prompts, "seeds": n_seeds, "tokens": T},
+        "exact_a16_vs_a8decode": summarize("a16_vs_a8"),
+        "exact_a16_vs_a16_seed_noise_floor": summarize("a16_vs_a16_seed"),
+        "greedy_a16_vs_a8decode": summarize("greedy_a16_vs_a8"),
+    }
+
+
 def run_production_study(n_prompts, T, voting_probs, model_seed=0,
                          mask_policy="epis"):
     """Exact-vs-fused semantic gap at EXACT LLaVA-1.5-7B shape — 32
@@ -730,8 +802,8 @@ def main(argv=None):
     ap.add_argument(
         "--study",
         default="fused",
-        choices=["fused", "epis_kl", "int8", "int4", "w8a8", "production",
-                 "int4prod"],
+        choices=["fused", "epis_kl", "int8", "int4", "w8a8", "w8a8decode",
+                 "production", "int4prod"],
         help="fused: exact-vs-fused overlap-lag gap; int8: full-precision "
         "vs int8-weights+cache gap; w8a8: bf16- vs int8-activation "
         "prefill over identical int8 weights; production: exact-vs-fused "
@@ -795,6 +867,7 @@ def main(argv=None):
             "int8": run_int8_study,
             "int4": run_int4_study,
             "w8a8": run_w8a8_study,
+            "w8a8decode": run_w8a8_decode_study,
         }[args.study]
         out = study(
             args.hidden, args.layers, args.vocab,

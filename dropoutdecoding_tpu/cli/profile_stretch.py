@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--tokens", type=int, default=16)
     ap.add_argument("--keep-trace", default=None,
                     help="directory to keep the trace in (default: tmp)")
+    ap.add_argument("--w8a8-decode", action="store_true",
+                    help="profile the int8-MXU decode-projection feed")
+    ap.add_argument("--fuse-proj", action="store_true",
+                    help="profile with fused qkv/gate_up weight leaves")
     args = ap.parse_args()
 
     import jax
@@ -110,6 +114,10 @@ def main():
         B, prompt = 8, cfg.vision.num_patches + 28
 
     lm = synthetic_int8_lm(cfg.text, jax.random.key(0))
+    if args.fuse_proj:
+        from dropoutdecoding_tpu.utils.quantize import fuse_projections
+
+        lm = fuse_projections(lm)
     proto = llava_mod.init_params(
         LlavaConfig(text=cfg.text.__class__(num_hidden_layers=1),
                     vision=cfg.vision),
@@ -126,6 +134,7 @@ def main():
         ensemble=True,
         seed=24,
         int8_kv=True,
+        w8a8_decode=args.w8a8_decode,
     )
     state = build_state(eng, cfg, jax.random.key(2), B=B, prompt_len=prompt)
     _fetch(state.first_token)

@@ -171,6 +171,14 @@ def build_parser():
     )
     p.add_argument("--int8-kv", type=str2bool, default=False,
                    help="int8-quantized KV cache for the slot pool")
+    p.add_argument("--fuse-proj", type=str2bool, default=True,
+                   help="fuse qkv/gate+up weight leaves on single-device "
+                   "runs (identical outputs; tests/test_fused_proj.py)")
+    p.add_argument("--w8a8-decode", type=str2bool, default=False,
+                   help="int8-MXU decode projections — the many-slot "
+                   "serving configs run compute-bound projections where "
+                   "this is step time off the top (needs --quantize "
+                   "int8/w8a8; drift: fused_gap --study w8a8decode)")
     return p
 
 

@@ -177,6 +177,12 @@ class LlavaEngine:
     #   s32, ~1.6x the bf16 MXU rate): quantize activation rows on the fly
     #   against the already-int8 weights.  Prefill-only — decode is
     #   HBM-bound.  Opt-in; drift measured in cli/fused_gap.py --study w8a8
+    w8a8_decode: bool = False  # int8-MXU DECODE projections.  Worthless at
+    #   B=1 (decode is HBM-bound) but the large-batch configs run
+    #   B*(K+1)-row projections that are MXU-compute-bound (batch-16 x K=8
+    #   = 144 rows), where the int8 MXU rate is step time off the top.
+    #   Opt-in; accumulated drift measured in cli/fused_gap.py
+    #   --study w8a8decode
     param_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -522,7 +528,7 @@ class LlavaEngine:
             xa = jnp.broadcast_to(x[:, None], (B, K + 1, x.shape[-1]))
             ha, ka, va = llama_mod.decode_step(
                 params.lm, cfg.text, xa, cur_len, cache, masks,
-                tp_mesh=self.tp_mesh,
+                tp_mesh=self.tp_mesh, w8a8=self.w8a8_decode,
             )
             logits_all = llama_mod.lm_head(params.lm, ha)  # [B, K+1, V]
             logits0 = logits_all[:, 0]
@@ -550,6 +556,7 @@ class LlavaEngine:
             h0, k0, v0 = llama_mod.decode_step(
                 params.lm, cfg.text, x[:, None], cur_len, cache,
                 base_mask[:, None], tp_mesh=self.tp_mesh,
+                w8a8=self.w8a8_decode,
             )
             logits0 = llama_mod.lm_head(params.lm, h0)[:, 0]  # [B, V]
             argmax0 = jnp.argmax(logits0, axis=-1)  # [B]
@@ -572,7 +579,7 @@ class LlavaEngine:
                 xk = jnp.broadcast_to(x[:, None], (B, K, x.shape[-1]))
                 hk, kk, vk = llama_mod.decode_step(
                     params.lm, cfg.text, xk, cur_len, cache, member_mask,
-                    tp_mesh=self.tp_mesh,
+                    tp_mesh=self.tp_mesh, w8a8=self.w8a8_decode,
                 )
                 logits_k = llama_mod.lm_head(params.lm, hk)  # [B, K, V]
 

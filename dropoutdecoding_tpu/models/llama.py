@@ -439,9 +439,38 @@ def _mm_w8a8(x: jax.Array, w) -> jax.Array:
 
 
 def _mlp(lp: dict, x: jax.Array, mm=_mm) -> jax.Array:
-    gate = mm(x, lp["gate_proj"])
-    up = mm(x, lp["up_proj"])
+    if "gate_up_proj" in lp:
+        # fused gate+up leaf (utils/quantize.fuse_projections): one matmul,
+        # one XLA fusion ramp instead of two
+        y = mm(x, lp["gate_up_proj"])
+        gate, up = jnp.split(y, 2, axis=-1)
+    else:
+        gate = mm(x, lp["gate_proj"])
+        up = mm(x, lp["up_proj"])
     return mm(jax.nn.silu(gate) * up, lp["down_proj"])
+
+
+def _qkv(lp: dict, h: jax.Array, mm, H: int, KH: int, Dh: int):
+    """q/k/v projections — one fused [D, (H+2KH)*Dh] matmul when the
+    params carry the fused "qkv_proj" leaf (utils/quantize.fuse_projections;
+    profiled 3 x 48 us/layer -> ~80 us at the batch-16 stretch shape: the
+    three small-output fusions each pay the full pipeline ramp), else the
+    split leaves.  Output slices are lane-dim at head-aligned offsets."""
+    lead = h.shape[:-1]
+    if "qkv_proj" in lp:
+        y = mm(h, lp["qkv_proj"])
+        q = y[..., : H * Dh]
+        k = y[..., H * Dh : (H + KH) * Dh]
+        v = y[..., (H + KH) * Dh :]
+    else:
+        q = mm(h, lp["q_proj"])
+        k = mm(h, lp["k_proj"])
+        v = mm(h, lp["v_proj"])
+    return (
+        q.reshape(*lead, H, Dh),
+        k.reshape(*lead, KH, Dh),
+        v.reshape(*lead, KH, Dh),
+    )
 
 
 def prefill(
@@ -535,9 +564,7 @@ def _prefill_batched(
 
     def layer(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q = mm(h, lp["q_proj"]).reshape(B, S, H, Dh)
-        k = mm(h, lp["k_proj"]).reshape(B, S, KH, Dh)
-        v = mm(h, lp["v_proj"]).reshape(B, S, KH, Dh)
+        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = _attend(q, k, v)
@@ -594,9 +621,7 @@ def prefill_extend(
     def layer(x, xs):
         lp, pk, pv = xs
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q = mm(h, lp["q_proj"]).reshape(B, T, H, Dh)
-        k = mm(h, lp["k_proj"]).reshape(B, T, KH, Dh)
-        v = mm(h, lp["v_proj"]).reshape(B, T, KH, Dh)
+        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = extend_attention(q, k, v, pk, pv, prefix_mask)
@@ -645,6 +670,7 @@ def decode_step(
     cache: KVCache,
     key_mask: jax.Array,
     tp_mesh=None,
+    w8a8: bool = False,
 ):
     """One-token forward for M ensemble members sharing the canonical cache.
 
@@ -660,6 +686,14 @@ def decode_step(
         TP-sharded (parallel/mesh.py): attention runs head-parallel under
         shard_map, which keeps the fused Pallas kernels eligible on
         multi-device runs (a bare pallas_call has no GSPMD rule).
+      w8a8: int8-MXU projection feed (s8 x s8 -> s32), the decode-side
+        counterpart of the w8a8 prefill mode.  At B=1 decode is HBM-bound
+        and this gains nothing, but at the large-batch configs the
+        B*M-row projections are MXU-COMPUTE-bound (>~100 rows is the
+        bf16 crossover for int8 weights: 2*P*R/164e12 > P/819e9), so the
+        int8 MXU's ~1.6x rate is step time off the top.  Drift (which
+        accumulates across steps, unlike prefill) is measured by
+        cli/fused_gap.py --study w8a8decode.
     Returns:
       (hidden [B, M, D], k_new [L, B, M, KH, Dh], v_new [L, B, M, KH, Dh])
     """
@@ -797,17 +831,17 @@ def decode_step(
                 li, q, k, v, tpu=_pallas_layered, default=_xla_layered
             )
 
+    mm = _mm_w8a8 if w8a8 else _mm
+
     def _layer_math(lp, xc, attend):
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-        q = _mm(h, lp["q_proj"]).reshape(B, M, H, Dh)
-        k = _mm(h, lp["k_proj"]).reshape(B, M, KH, Dh)
-        v = _mm(h, lp["v_proj"]).reshape(B, M, KH, Dh)
+        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = attend(q, k, v).reshape(B, M, H * Dh)
-        xc = xc + _mm(attn, lp["o_proj"])
+        xc = xc + mm(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)
-        xc = xc + _mlp(lp, h2)
+        xc = xc + _mlp(lp, h2, mm)
         return xc, (k, v)
 
     if use_layered:

@@ -156,10 +156,21 @@ def _apply_specs(tree, specs, mesh):
     )
 
 
+def _reject_fused(lm: dict):
+    if "qkv_proj" in lm.get("layers", {}):
+        raise ValueError(
+            "params carry fused qkv/gate_up leaves "
+            "(utils/quantize.fuse_projections) — a single-device layout. "
+            "TP shard specs are keyed on the split leaf names; shard the "
+            "split params and skip fuse_projections on mesh runs."
+        )
+
+
 def shard_llava_params(params, mesh: Mesh):
     """Place LlavaParams on the mesh with TP shardings."""
     from ..models.llava import LlavaParams
 
+    _reject_fused(params.lm)
     return LlavaParams(
         vision=_apply_specs(params.vision, clip_param_specs(), mesh),
         projector=_apply_specs(params.projector, projector_param_specs(), mesh),
@@ -225,6 +236,7 @@ def shard_llavanext_params(params, mesh: Mesh):
     image_newline is a [D] vector, replicated."""
     from ..models.llavanext import LlavaNextParams
 
+    _reject_fused(params.lm)
     return LlavaNextParams(
         vision=_apply_specs(params.vision, clip_param_specs(), mesh),
         projector=_apply_specs(params.projector, projector_param_specs(), mesh),
@@ -242,6 +254,7 @@ def shard_instructblip_params(params, mesh: Mesh):
     (their per-request compute is tiny next to the LM tower)."""
     from ..models.instructblip import InstructBlipParams
 
+    _reject_fused(params.lm)
     rep = NamedSharding(mesh, P())
 
     def put_rep(tree):

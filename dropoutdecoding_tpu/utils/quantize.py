@@ -53,6 +53,57 @@ def quantize_kv(x: jax.Array):
     return {"q": q, "s": s}
 
 
+def _concat_leaves(leaves):
+    """Concatenate projection leaves along the OUTPUT axis, preserving the
+    leaf kind: dense arrays, int8 {"q","s"}, or packed int4 {"q4","s4"}
+    (int4 packs along the CONTRACTION axis, so output-axis concat is
+    layout-safe)."""
+    first = leaves[0]
+    if isinstance(first, dict):
+        if "q4" in first:
+            return {
+                "q4": jnp.concatenate([l["q4"] for l in leaves], axis=-1),
+                "s4": jnp.concatenate([l["s4"] for l in leaves], axis=-1),
+            }
+        return {
+            "q": jnp.concatenate([l["q"] for l in leaves], axis=-1),
+            "s": jnp.concatenate([l["s"] for l in leaves], axis=-1),
+        }
+    return jnp.concatenate(leaves, axis=-1)
+
+
+def fuse_projections(params: dict) -> dict:
+    """Fuse q/k/v -> "qkv_proj" and gate/up -> "gate_up_proj" along the
+    output axis (single-device decode/prefill layout).
+
+    Why: on TPU the three q/k/v matmuls of a decode step run as three
+    separate XLA fusions that each pay the full pipeline ramp for a small
+    output — profiled at the batch-16 LLaVA stretch shape they cost
+    3 x 48 us/layer while gate/up (2.7x the bytes each) cost 76 us: the
+    q/k/v trio runs at ~2x its combined HBM+MXU floor purely from
+    per-fusion overhead.  One [D, (H+2*KH)*Dh] matmul pays the ramp once;
+    models/llama reads the fused leaf when present and slices the output
+    (lane-dim slices at head-aligned offsets are free).  Works on dense,
+    int8, and packed-int4 leaves.
+
+    TP note: parallel/mesh.py's shard specs are keyed on the SPLIT leaf
+    names; fuse only single-device params (shard_llama_specs raises on
+    fused leaves rather than silently replicating them).
+    """
+    layers = dict(params["layers"])
+    if "qkv_proj" in layers:
+        return params  # already fused
+    layers["qkv_proj"] = _concat_leaves(
+        [layers.pop("q_proj"), layers.pop("k_proj"), layers.pop("v_proj")]
+    )
+    layers["gate_up_proj"] = _concat_leaves(
+        [layers.pop("gate_proj"), layers.pop("up_proj")]
+    )
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def quantize_llama_params(params: dict, quantize_lm_head: bool = True) -> dict:
     """Quantize the per-layer projections (+ optionally lm_head) of a
     models/llama parameter pytree.  Norms and embeddings stay bf16."""

@@ -347,6 +347,46 @@ def test_w8a8_matmul_close_to_dense():
     )
 
 
+def test_w8a8_decode_step_close_to_bf16_feed():
+    """decode_step(w8a8=True) — the int8-MXU decode-projection feed for
+    the compute-bound large-batch configs — stays close to the bf16-feed
+    path on the same int8 weights, and is plumbed through the engine flag
+    (LlavaEngine.w8a8_decode)."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=16,
+    )
+    rng = np.random.default_rng(11)
+    params = quantize_llama_params(
+        llama.init_params(cfg, jax.random.key(4), jnp.float32)
+    )
+    B, M, Smax = 2, 3, 16
+    x = jnp.asarray(rng.normal(size=(B, M, 64)) * 0.3, jnp.float32)
+    cache = llama.empty_cache(cfg, B, Smax, jnp.float32)
+    mask = jnp.broadcast_to(
+        jnp.arange(Smax)[None, None, :] < 5, (B, M, Smax)
+    )
+    pos = jnp.full((B,), 5)
+    h_ref, k_ref, v_ref = llama.decode_step(params, cfg, x, pos, cache, mask)
+    h_q, k_q, v_q = llama.decode_step(
+        params, cfg, x, pos, cache, mask, w8a8=True
+    )
+    assert h_q.shape == h_ref.shape and k_q.shape == k_ref.shape
+    denom = float(np.abs(np.asarray(h_ref, np.float32)).max()) + 1e-9
+    rel = float(np.abs(np.asarray(h_q - h_ref, np.float32)).max()) / denom
+    assert rel < 0.2, rel  # per-step drift bounded (2-layer accumulation)
+    assert not np.allclose(
+        np.asarray(h_q, np.float32), np.asarray(h_ref, np.float32)
+    )  # the int8 feed actually ran
+
+
 def test_int4_group_autofit(rng):
     """quantize_llama_params_int4 fits the group per matrix: a tiny tower
     whose in-dims don't divide 2*128 quantizes at a finer group instead
