@@ -427,6 +427,12 @@ def _mm_w8a8(x: jax.Array, w) -> jax.Array:
     if not isinstance(w, dict) or "q4" in w:
         # dense weights, or int4 (no native s4 x s8 MXU path): bf16 feed
         return _mm(x, w)
+    # NOTE a Pallas w8a8 kernel (in-kernel row quantize + s8 x s8 weight
+    # tiles) was built and measured END-TO-END SLOWER than this XLA
+    # formulation at the batch-16 stretch decode shape (655 vs 826 agg
+    # t/s): the kernel-boundary [B, M, D] -> [R, D] reshapes relayout the
+    # batch-minor hidden states every projection, eating the int8-MXU
+    # gain.  docs/DESIGN.md records the study; keep the XLA path.
     from ..utils.quantize import quantize_activations
 
     qx, sx = quantize_activations(x)

@@ -390,3 +390,35 @@ def test_tp_int4_generate_matches_single_device(tiny):
         state = _sharded_state(eng, mesh, input_ids, pixels)
         tokens, _ = eng._decode(eng.params, state)
     np.testing.assert_array_equal(np.asarray(tokens), ref_out.tokens)
+
+
+def test_tp_decode_server_matches_solo(tiny):
+    """Continuous-batching DecodeServer over TP-sharded params (2x4 mesh):
+    slot-multiplexed serving tokens == the unsharded solo engine's, so the
+    serving layer composes with tensor parallelism (the slot state itself
+    is unsharded; GSPMD inserts the reshards at placement and the TP
+    collectives inside the step body)."""
+    from dropoutdecoding_tpu.engine.serving import DecodeServer
+
+    cfg, params = tiny
+    input_ids, pixels = _inputs(cfg, 3)
+    reqs = {
+        f"r{b}": (input_ids[b : b + 1], pixels[b : b + 1]) for b in range(3)
+    }
+
+    solo = _engine(cfg, params)
+    expected = {rid: solo.generate(*a).tokens[0] for rid, a in reqs.items()}
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    eng = _engine(cfg, shard_llava_params(params, mesh))
+    with mesh:
+        server = DecodeServer(engine=eng, n_slots=2)
+        results = server.run(
+            list(reqs), lambda rid: reqs[rid], batch_prefill=False
+        )
+    assert set(results) == set(reqs)
+    for rid in reqs:
+        n = len(results[rid])
+        np.testing.assert_array_equal(
+            results[rid], expected[rid][:n], err_msg=rid
+        )
