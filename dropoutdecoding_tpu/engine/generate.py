@@ -215,6 +215,9 @@ class LlavaEngine:
         self._probe = jax.jit(functools.partial(self._prefill_impl, probe=True))
         self._probe_prefix = jax.jit(self._probe_prefix_impl)
         self._probe_extend = jax.jit(self._probe_extend_impl)
+        self._merge = jax.jit(self._merge_embeds_impl)
+        self._finalize_chunked = jax.jit(self._finalize_chunked_impl)
+        self._chunk_fns = {}
         self._decode = jax.jit(self._decode_loop_impl)
         # Donated variant used by generate(): without donation XLA copies
         # EVERY cache leaf at dispatch entry because the while-loop body
@@ -287,6 +290,20 @@ class LlavaEngine:
             params.lm, cfg.text, merged, positions, w8a8=self.w8a8_prefill
         )
 
+        return self._assemble_state(
+            params, input_ids, hidden, kv, image_pos, text_lens, probe
+        )
+
+    def _assemble_state(
+        self, params, input_ids, hidden, kv, image_pos, text_lens, probe=False
+    ):
+        """PrefillState from the LM forward's outputs — shared by the
+        one-shot prefill and the chunked prefill (whose hidden/kv arrive
+        from N chunk dispatches but are numerically the same buffers)."""
+        cfg = self.cfg
+        B, S, _ = hidden.shape
+        N = cfg.vision.num_patches
+
         if text_lens is None:
             cur_len = jnp.full((B,), S, jnp.int32)
             last_hidden = hidden[:, -1]
@@ -328,6 +345,114 @@ class LlavaEngine:
             probe_ids=extract_probe_ids(input_ids, text_lens=text_lens),
             rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
+        )
+
+    # ------------------------------------------------------------------
+    # chunked prefill (serving: bound the decode stall of long prefills)
+    # ------------------------------------------------------------------
+    def _merge_embeds_impl(self, params, input_ids, pixel_values):
+        """Vision + projector + merge only — the front of _prefill_impl,
+        dispatched separately so the LM prefill can run in chunks.
+        Returns (merged, real_len, finalize-aux)."""
+        cfg = self.cfg
+        image_pos = llava_mod.find_image_pos(input_ids, cfg.image_token_index)
+        feats = llava_mod.image_features(cfg, params, pixel_values)
+        text_embeds = llama_mod.embed(
+            params.lm,
+            jnp.where(input_ids == cfg.image_token_index, 0, input_ids),
+        )
+        merged = llava_mod.merge_image_features(text_embeds, feats, image_pos)
+        return merged, jnp.int32(merged.shape[1]), (image_pos,)
+
+    def _chunk_embeds_impl(
+        self, params, merged_pad, off, kbuf, vbuf, hbuf, real_len, *, chunk
+    ):
+        """One LM chunk: rows [off, off+chunk) attend the fully-visible
+        valid prefix (prefix_mask < min(off, real_len)) plus causally to
+        themselves — numerically the rows of a one-shot causal prefill
+        (causal attention factorizes; ops/attention.extend_attention).
+        The chunk's K/V and final-norm hidden land in the donated
+        accumulation buffers.  ``off`` is a traced scalar: every chunk of
+        a prompt shape runs the SAME compiled program."""
+        cfg = self.cfg
+        B, S_pad, D = merged_pad.shape
+        mc = jax.lax.dynamic_slice(merged_pad, (0, off, 0), (B, chunk, D))
+        pos = jnp.broadcast_to(off + jnp.arange(chunk)[None], (B, chunk))
+        pm = jnp.arange(S_pad)[None, :] < jnp.minimum(off, real_len)
+        hidden_c, kv_c = llama_mod.prefill_extend(
+            params.lm,
+            cfg.text,
+            mc,
+            pos,
+            llama_mod.KVCache(kbuf, vbuf),
+            w8a8=self.w8a8_prefill,
+            prefix_mask=pm,
+        )
+        kbuf = jax.lax.dynamic_update_slice(kbuf, kv_c.k, (0, 0, off, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(vbuf, kv_c.v, (0, 0, off, 0, 0))
+        hbuf = jax.lax.dynamic_update_slice(hbuf, hidden_c, (0, off, 0))
+        return kbuf, vbuf, hbuf
+
+    def _chunk_fn(self, chunk: int):
+        fns = getattr(self, "_chunk_fns", None)
+        if fns is None:
+            fns = self._chunk_fns = {}
+        if chunk not in fns:
+            fns[chunk] = jax.jit(
+                functools.partial(self._chunk_embeds_impl, chunk=chunk),
+                donate_argnums=(3, 4, 5),
+            )
+        return fns[chunk]
+
+    def _finalize_chunked_impl(self, params, input_ids, hidden, kbuf, vbuf,
+                               image_pos):
+        kv = llama_mod.KVCache(kbuf, vbuf)
+        return self._assemble_state(
+            params, input_ids, hidden, kv, image_pos, None
+        )
+
+    def prefill_chunked(self, input_ids, *rest, chunk=256, pump=None):
+        """Prefill one request in ``chunk``-token LM dispatches, calling
+        ``pump()`` between them — the serving layer passes a pump that
+        enqueues decode steps for active slots, so a long prefill stalls
+        concurrent streams by at most one chunk of device time instead of
+        the whole prompt (DecodeServer.submit_chunked).  Device programs
+        execute in queue order; the pump needs no host synchronisation.
+
+        Args are the engine's standard prefill args.  Numerically
+        identical to ``prefill`` (same buffers, chunked causal
+        factorization; tests/test_chunked_prefill.py).  B=1 — serving
+        submits one joining request at a time."""
+        ids = jnp.asarray(input_ids)
+        if ids.shape[0] != 1:
+            raise ValueError("prefill_chunked is per-request (B=1)")
+        merged, real_len, aux = self._merge(self.params, ids, *rest)
+        B, S, D = merged.shape
+        n = -(-S // chunk)
+        S_pad = n * chunk
+        if S_pad != S:
+            merged = jnp.pad(merged, ((0, 0), (0, S_pad - S), (0, 0)))
+        cfgt = self.cfg.text
+        shape = (
+            cfgt.num_hidden_layers, B, S_pad,
+            cfgt.num_key_value_heads, cfgt.head_dim,
+        )
+        kbuf = jnp.zeros(shape, merged.dtype)
+        vbuf = jnp.zeros(shape, merged.dtype)
+        hbuf = jnp.zeros((B, S_pad, D), merged.dtype)
+        fn = self._chunk_fn(chunk)
+        for i in range(n):
+            if pump is not None and i > 0:
+                pump()
+            kbuf, vbuf, hbuf = fn(
+                self.params, merged, jnp.int32(i * chunk),
+                kbuf, vbuf, hbuf, real_len,
+            )
+        # junk rows past the real merged length sit at positions >= cur_len
+        # and are masked everywhere downstream; slice the static pad off
+        return self._finalize_chunked(
+            self.params, ids, hbuf[:, :S], kbuf[:, :, :S], vbuf[:, :, :S],
+            *aux,
         )
 
     def _probe_prefix_impl(self, params, prefix_ids, pixel_values):

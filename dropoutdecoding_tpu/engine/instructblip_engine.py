@@ -33,6 +33,13 @@ class InstructBlipEngine(LlavaEngine):
     def n_visual(self) -> int:
         return self.cfg.num_query_tokens
 
+    def prefill_chunked(self, *a, **kw):
+        raise NotImplementedError(
+            "chunked prefill targets long prompts; InstructBLIP merged "
+            "prompts are ~64 tokens (32 Q-Former queries + instruction) — "
+            "a single prefill dispatch is already shorter than one chunk"
+        )
+
     def _prefill_impl(
         self,
         params,

@@ -85,6 +85,22 @@ class LlavaNextEngine(LlavaEngine):
             w8a8=self.w8a8_prefill,
         )
 
+        return self._assemble_next(
+            params, input_ids, hidden, kv, image_pos, valid, real_len,
+            text_lens, probe,
+        )
+
+    def _assemble_next(
+        self, params, input_ids, hidden, kv, image_pos, valid, real_len,
+        text_lens=None, probe=False,
+    ):
+        """PrefillState from the LM forward — shared by the one-shot and
+        chunked prefills (the NeXT merged sequence is suffix-padded to a
+        static max, so per-row real_len + valid masks carry the geometry)."""
+        cfg = self.cfg
+        B = hidden.shape[0]
+        N = self._n_max
+
         def span(h, p):
             return jax.lax.dynamic_slice_in_dim(h, p, N, axis=0)
 
@@ -100,7 +116,10 @@ class LlavaNextEngine(LlavaEngine):
 
         img_hidden = jax.vmap(span)(hidden, image_pos)  # [B, N, D]
         img_logits = llama_mod.lm_head(params.lm, img_hidden)
-        uncert = vision_uncertainty_auto(img_logits)
+        # the span is statically padded to N_max: restrict the ensemble
+        # mean + image-level means to the real anyres tokens (reference
+        # llavanext.py:223-228 slices exactly [start, end_image_pos])
+        uncert = vision_uncertainty_auto(img_logits, valid=valid)
         topk_ids = exact_top_k_ids(img_logits, self.ens.topk)
 
         cache = llama_mod.empty_cache(
@@ -120,6 +139,37 @@ class LlavaNextEngine(LlavaEngine):
             probe_ids=extract_probe_ids(input_ids, text_lens=text_lens),
             rng_id=jnp.arange(B, dtype=jnp.int32),
             uncertainty=uncert,
+        )
+
+    def _merge_embeds_impl(
+        self, params, input_ids, tile_pixels, gather_idx, valid, image_pos
+    ):
+        """Chunked-prefill front for NeXT: anyres pack + merge.  The
+        merged sequence is suffix-padded to a static max; real_len bounds
+        the valid prefix the chunk programs may attend."""
+        cfg = self.cfg
+        packed = next_mod.pack_image_features_batched(
+            cfg, params, tile_pixels, gather_idx
+        )
+        text_embeds = llama_mod.embed(
+            params.lm,
+            jnp.where(input_ids == cfg.image_token_index, 0, input_ids),
+        )
+        merged, _key_mask, real_len = next_mod.merge_with_text_batched(
+            text_embeds, packed, valid, image_pos, None
+        )
+        real_len = real_len.astype(jnp.int32)
+        return merged, real_len[0], (
+            image_pos.astype(jnp.int32), valid, real_len,
+        )
+
+    def _finalize_chunked_impl(
+        self, params, input_ids, hidden, kbuf, vbuf, image_pos, valid,
+        real_len,
+    ):
+        return self._assemble_next(
+            params, input_ids, hidden, llama_mod.KVCache(kbuf, vbuf),
+            image_pos, valid, real_len,
         )
 
     def _probe_prefix_impl(self, params, prefix_ids, tile_pixels, gather_idx,
@@ -298,6 +348,27 @@ class LlavaNextEngine(LlavaEngine):
             self._image_positions(input_ids),
             None if text_lens is None else jnp.asarray(text_lens, jnp.int32),
             None if image_index is None else jnp.asarray(image_index, jnp.int32),
+        )
+
+    def prefill_chunked(
+        self, input_ids, tile_pixels, original_size, chunk=256, pump=None
+    ):
+        """Chunked prefill for the ~3k-token anyres prompts — THE case
+        the serving pump exists for: a joining NeXT request would
+        otherwise stall every active stream for the whole multi-tile
+        prefill (engine/generate.prefill_chunked)."""
+        input_ids = np.asarray(input_ids)
+        tiles, gathers, valids = self._prep_images(
+            tile_pixels, original_size, input_ids.shape[0]
+        )
+        return super().prefill_chunked(
+            jnp.asarray(input_ids),
+            tiles,
+            gathers,
+            valids,
+            self._image_positions(input_ids),
+            chunk=chunk,
+            pump=pump,
         )
 
     def generate(self, input_ids, tile_pixels, original_size):

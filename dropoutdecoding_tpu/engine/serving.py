@@ -90,6 +90,11 @@ class DecodeServer:
             ),
         )
         self._requests: List[Optional[Any]] = [None] * S
+        # per-request token budgets (<= T), enforced host-side at harvest:
+        # the device program always runs full-T-capable slots (one compiled
+        # step for every request mix), a slot just gets harvested (and its
+        # buffer truncated) once steps reach its budget
+        self._budgets: List[int] = [T] * S
         # donate the decode carry (whose first element is the slot cache):
         # without it XLA copies the whole cache at EVERY step(n) dispatch
         # entry (the fori body scatters into a non-donated input); state
@@ -226,8 +231,24 @@ class DecodeServer:
         )
         return new_state, new_carry
 
-    def submit(self, request_id, *prefill_args) -> int:
-        """Prefill one request and place it into a free slot."""
+    def _set_budget(self, slot: int, max_new_tokens: Optional[int]):
+        T = self._carry["tokens_buf"].shape[1]
+        if max_new_tokens is not None and not (1 <= max_new_tokens <= T):
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} outside [1, {T}] "
+                "(the server's compiled token budget; raise the engine's "
+                "gen.max_new_tokens for longer requests)"
+            )
+        self._budgets[slot] = max_new_tokens or T
+
+    def submit(self, request_id, *prefill_args, max_new_tokens=None) -> int:
+        """Prefill one request and place it into a free slot.
+
+        ``max_new_tokens`` (optional): per-request budget <= the engine's
+        compiled T; the request is harvested (buffer truncated) once it
+        emits that many tokens.  Emitted tokens are prefix-identical to a
+        solo run with the same budget (decode is causal — later steps
+        never change earlier tokens)."""
         slots = self.free_slots()
         if not slots:
             raise RuntimeError("no free slots; call step()/harvest() first")
@@ -235,6 +256,38 @@ class DecodeServer:
         ps = self.engine.prefill(*prefill_args)
         ps = ps._replace(uncertainty={})  # diagnostics dict stays host-side
         self._place(ps, slot, request_id)
+        self._set_budget(slot, max_new_tokens)
+        return slot
+
+    def submit_chunked(
+        self,
+        request_id,
+        *prefill_args,
+        chunk: int = 256,
+        pump_steps: int = 4,
+        max_new_tokens=None,
+    ) -> int:
+        """Prefill one joining request in ``chunk``-token dispatches,
+        enqueueing ``pump_steps`` decode steps for the ACTIVE slots
+        between chunks (engine.prefill_chunked's pump) — a long prefill
+        (LLaVA-NeXT: ~3k tokens) stalls running streams by at most one
+        chunk of device time instead of the whole prompt.  Tokens are
+        identical to submit(): the chunked prefill is numerically the
+        one-shot prefill, and pumped decode steps only advance OTHER
+        slots."""
+        slots = self.free_slots()
+        if not slots:
+            raise RuntimeError("no free slots; call step()/harvest() first")
+        slot = slots[0]
+
+        def pump():
+            if self.active():
+                self.step(pump_steps)
+
+        ps = self.engine.prefill_chunked(*prefill_args, chunk=chunk, pump=pump)
+        ps = ps._replace(uncertainty={})
+        self._place(ps, slot, request_id)
+        self._set_budget(slot, max_new_tokens)
         return slot
 
     def submit_many(self, items) -> List[int]:
@@ -281,6 +334,7 @@ class DecodeServer:
         self._carry.update(new_carry)
         for slot, (rid, _) in zip(used, items):
             self._requests[slot] = rid
+            self._set_budget(slot, None)
         return used
 
     # ------------------------------------------------------------------
@@ -343,10 +397,11 @@ class DecodeServer:
         for slot, req in enumerate(self._requests):
             if req is None:
                 continue
-            if done[slot] or steps[slot] >= T:
+            budget = self._budgets[slot]
+            if done[slot] or steps[slot] >= budget:
                 if buf is None:
                     buf = np.asarray(c["tokens_buf"])
-                n = min(int(steps[slot]), T)
+                n = min(int(steps[slot]), budget, T)
                 finished[req] = buf[slot][:n]
                 self._requests[slot] = None
                 self._carry["done"] = self._carry["done"].at[slot].set(True)

@@ -66,7 +66,7 @@ def _pass_a_kernel(x_ref, m_ref, z_ref, a_ref, b_ref):
     b_ref[...] = b_ref[...] * scale * scale + jnp.sum(e * e, axis=-1, keepdims=True)
 
 
-def _pass_b_kernel(x_ref, m_ref, z_ref, pavg_ref, *, n_rows: int):
+def _pass_b_kernel(x_ref, m_ref, z_ref, w_ref, pavg_ref):
     rt = pl.program_id(1)
     x = x_ref[...]  # [TL, TV]
     z = z_ref[...]
@@ -77,7 +77,9 @@ def _pass_b_kernel(x_ref, m_ref, z_ref, pavg_ref, *, n_rows: int):
     def _():
         pavg_ref[...] = jnp.zeros_like(pavg_ref)
 
-    pavg_ref[...] += jnp.sum(p, axis=0, keepdims=True) / float(n_rows)
+    # w = 1/n_valid at rows in the mean, 0 elsewhere (valid-aware means
+    # for statically padded spans; uniform 1/L when no mask)
+    pavg_ref[...] += jnp.sum(p * w_ref[...], axis=0, keepdims=True)
 
 
 def _pass_c_kernel(x_ref, m_ref, z_ref, pavg_ref, c_ref):
@@ -96,11 +98,15 @@ def _pass_c_kernel(x_ref, m_ref, z_ref, pavg_ref, c_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def vision_uncertainty_fused(logits: jax.Array, interpret: bool = False) -> dict:
+def vision_uncertainty_fused(
+    logits: jax.Array, valid: jax.Array | None = None, interpret: bool = False
+) -> dict:
     """Pallas-fused equivalent of ops.uncertainty.vision_uncertainty.
 
     Args:
       logits: [B, L, V] visual-token logits (any float dtype).
+      valid: optional [B, L] bool — p_avg and the image-level means run
+        over valid rows only (LLaVA-NeXT's statically padded spans).
     Returns:
       same dict as the jnp reference.
     """
@@ -111,11 +117,19 @@ def vision_uncertainty_fused(logits: jax.Array, interpret: bool = False) -> dict
     x = jnp.pad(
         x, ((0, 0), (0, Lp - L), (0, Vp - V)), constant_values=-jnp.inf
     )
+    if valid is None:
+        w = jnp.full((B, Lp, 1), 1.0 / L, jnp.float32)
+        w = w.at[:, L:].set(0.0)
+        n_valid = jnp.full((B,), float(L), jnp.float32)
+    else:
+        vf = valid.astype(jnp.float32)  # [B, L]
+        n_valid = jnp.maximum(jnp.sum(vf, axis=1), 1.0)
+        w = jnp.pad(vf, ((0, 0), (0, Lp - L)))[..., None] / n_valid[:, None, None]
     n_vt = Vp // _TV
     n_rt = Lp // _TL
     vmem = pltpu.VMEM
 
-    def per_image(xi):
+    def per_image(xi, wi, ni):
         stat_spec = pl.BlockSpec((_TL, 1), lambda rt, vt: (rt, 0), memory_space=vmem)
         x_spec = pl.BlockSpec((_TL, _TV), lambda rt, vt: (rt, vt), memory_space=vmem)
         m, z, a, b = pl.pallas_call(
@@ -128,11 +142,12 @@ def vision_uncertainty_fused(logits: jax.Array, interpret: bool = False) -> dict
         )(xi)
 
         (pavg,) = pl.pallas_call(
-            functools.partial(_pass_b_kernel, n_rows=L),
+            _pass_b_kernel,
             grid=(n_vt, n_rt),  # vt-major so the (vt) output block
             # accumulates across the inner rt steps
             in_specs=[
                 pl.BlockSpec((_TL, _TV), lambda vt, rt: (rt, vt), memory_space=vmem),
+                pl.BlockSpec((_TL, 1), lambda vt, rt: (rt, 0), memory_space=vmem),
                 pl.BlockSpec((_TL, 1), lambda vt, rt: (rt, 0), memory_space=vmem),
                 pl.BlockSpec((_TL, 1), lambda vt, rt: (rt, 0), memory_space=vmem),
             ],
@@ -141,7 +156,7 @@ def vision_uncertainty_fused(logits: jax.Array, interpret: bool = False) -> dict
             ],
             out_shape=[jax.ShapeDtypeStruct((1, Vp), jnp.float32)],
             interpret=interpret,
-        )(xi, m, z)
+        )(xi, m, z, wi)
 
         (c,) = pl.pallas_call(
             _pass_c_kernel,
@@ -161,14 +176,16 @@ def vision_uncertainty_fused(logits: jax.Array, interpret: bool = False) -> dict
         alea = jnp.log(z) + m - a / z
         var = (b / (z * z) - 1.0 / V) / (V - 1)
         epis = -alea - c
-        return epis, alea, var
+        wrow = wi[:L, 0] * ni  # 1.0 at rows in the mean, 0 elsewhere
+        mean = lambda v: jnp.sum(v * wrow) / ni
+        return epis, alea, var, mean(var), mean(epis), mean(alea)
 
-    epis, alea, var = jax.vmap(per_image)(x)
+    epis, alea, var, mvar, mepis, malea = jax.vmap(per_image)(x, w, n_valid)
     return {
         "variance_per_token": var,
         "epis_uncert_per_token": epis,
         "alea_uncert_per_token": alea,
-        "variance": jnp.mean(var, axis=-1),
-        "epis_uncert": jnp.mean(epis, axis=-1),
-        "alea_uncert": jnp.mean(alea, axis=-1),
+        "variance": mvar,
+        "epis_uncert": mepis,
+        "alea_uncert": malea,
     }

@@ -25,11 +25,17 @@ import jax.numpy as jnp
 _EPS = 1e-10  # matches reference log(p + 1e-10)
 
 
-def vision_uncertainty(logits: jax.Array) -> dict:
+def vision_uncertainty(logits: jax.Array, valid: jax.Array | None = None) -> dict:
     """jnp reference implementation (fp32).
 
     Args:
       logits: [B, L, V] visual-token logits.
+      valid: optional [B, L] bool — True marks REAL visual tokens when the
+        span is statically padded (LLaVA-NeXT anyres).  The ensemble mean
+        p_avg and the image-level means run over valid rows only, matching
+        the reference, which slices exactly the real span
+        (llavanext.py:223-228 start/end_image_pos).  Per-token values at
+        invalid rows are junk and masked by every consumer.
     Returns:
       dict with per-token [B, L] and image-level [B] uncertainty fields,
       keys identical to the reference dict (llava.py:747-756).
@@ -39,9 +45,15 @@ def vision_uncertainty(logits: jax.Array) -> dict:
 
     # torch.var uses correction=1 (unbiased); match it exactly.
     variance_per_token = jnp.var(probs, axis=-1, ddof=1)  # [B, L]
-    variance = jnp.mean(variance_per_token, axis=-1)  # [B]
 
-    p_avg = jnp.mean(probs, axis=1)  # [B, V]
+    if valid is None:
+        p_avg = jnp.mean(probs, axis=1)  # [B, V]
+        mean_rows = lambda x: jnp.mean(x, axis=-1)
+    else:
+        w = valid.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # [B]
+        p_avg = jnp.einsum("bl,blv->bv", w, probs) / n[:, None]
+        mean_rows = lambda x: jnp.sum(x * w, axis=-1) / n
 
     epi_per_token = jnp.sum(
         probs * (jnp.log(probs + _EPS) - jnp.log(p_avg[:, None, :] + _EPS)),
@@ -53,27 +65,37 @@ def vision_uncertainty(logits: jax.Array) -> dict:
         "variance_per_token": variance_per_token,
         "epis_uncert_per_token": epi_per_token,
         "alea_uncert_per_token": alea_per_token,
-        "variance": variance,
-        "epis_uncert": jnp.mean(epi_per_token, axis=-1),
-        "alea_uncert": jnp.mean(alea_per_token, axis=-1),
+        "variance": mean_rows(variance_per_token),
+        "epis_uncert": mean_rows(epi_per_token),
+        "alea_uncert": mean_rows(alea_per_token),
     }
 
 
-def vision_uncertainty_auto(logits: jax.Array) -> dict:
+def vision_uncertainty_auto(
+    logits: jax.Array, valid: jax.Array | None = None
+) -> dict:
     """Dispatch to the fused Pallas kernel on TPU (O(L) HBM traffic
     instead of several [L, V] fp32 temporaries), jnp elsewhere.
 
     Uses ``lax.platform_dependent`` so the choice follows the LOWERING
     platform, not the process default backend (this container's TPU plugin
     stays default even when a program targets the CPU mesh)."""
+    from .pallas_uncertainty import vision_uncertainty_fused
 
-    def tpu_impl(x):
-        from .pallas_uncertainty import vision_uncertainty_fused
+    if valid is None:
 
-        return vision_uncertainty_fused(x)
+        def tpu_impl(x):
+            return vision_uncertainty_fused(x)
+
+        return jax.lax.platform_dependent(
+            logits, tpu=tpu_impl, default=vision_uncertainty
+        )
+
+    def tpu_impl_v(x, v):
+        return vision_uncertainty_fused(x, valid=v)
 
     return jax.lax.platform_dependent(
-        logits, tpu=tpu_impl, default=vision_uncertainty
+        logits, valid, tpu=tpu_impl_v, default=vision_uncertainty
     )
 
 

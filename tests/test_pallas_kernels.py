@@ -228,3 +228,20 @@ def test_layered_bf16_decode_attention_matches_xla(rng, KH):
         )
         scale = np.max(np.abs(ref)) + 1e-9
         assert np.max(np.abs(ref - got)) / scale < 2e-2, li
+
+
+def test_fused_uncertainty_valid_mask_matches_reference(rng):
+    from dropoutdecoding_tpu.ops.pallas_uncertainty import vision_uncertainty_fused
+    from dropoutdecoding_tpu.ops.uncertainty import vision_uncertainty
+
+    logits = jnp.asarray((rng.normal(size=(2, 12, 2500)) * 3).astype(np.float32))
+    valid = np.zeros((2, 12), bool)
+    valid[0, :7] = True
+    valid[1, :10] = True
+    ref = vision_uncertainty(logits, valid=jnp.asarray(valid))
+    got = vision_uncertainty_fused(logits, valid=jnp.asarray(valid), interpret=True)
+    for k in ref:
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        if k.endswith("_per_token"):
+            r, g = r[valid], g[valid]  # junk rows are junk in both
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-5, err_msg=k)

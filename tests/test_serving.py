@@ -233,3 +233,42 @@ def test_server_do_sample_matches_solo(tiny_llava, rng):
         np.testing.assert_array_equal(
             results2[rid], expected[rid][: len(results2[rid])], err_msg=rid
         )
+
+
+def test_per_request_max_new_tokens(tiny_llava, rng):
+    """Per-request token budgets: a request submitted with
+    max_new_tokens=k is harvested with exactly k tokens that are a
+    prefix of its solo generation; other slots keep their full budget."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    reqs = _requests(rng, 2)
+    expected = {
+        rid: eng.generate(*args).tokens[0] for rid, args in reqs.items()
+    }
+
+    server = DecodeServer(engine=eng, n_slots=2)
+    server.submit("r0", *reqs["r0"], max_new_tokens=3)
+    server.submit("r1", *reqs["r1"])  # full budget (6)
+    results = {}
+    for _ in range(8):
+        server.step()
+        results.update(server.harvest())
+        if len(results) == 2:
+            break
+    assert len(results["r0"]) == 3
+    np.testing.assert_array_equal(results["r0"], expected["r0"][:3])
+    assert len(results["r1"]) == 6
+    np.testing.assert_array_equal(results["r1"], expected["r1"])
+    # the freed slot is immediately reusable with a fresh budget
+    server.submit("r2", *reqs["r0"], max_new_tokens=2)
+    for _ in range(4):
+        server.step()
+        results.update(server.harvest())
+        if "r2" in results:
+            break
+    np.testing.assert_array_equal(results["r2"], expected["r0"][:2])
+    # out-of-range budgets rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_new_tokens"):
+        server.submit("bad", *reqs["r1"], max_new_tokens=99)

@@ -105,3 +105,28 @@ def test_exact_top_k_ids_matches_lax_top_k(rng):
     ref = jax.lax.top_k(t, 4)[1]
     got = exact_top_k_ids(t, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_vision_uncertainty_valid_mask_equals_compacted(rng):
+    """valid-aware uncertainty == running the plain formula on just the
+    valid rows (the LLaVA-NeXT statically-padded span case)."""
+    from dropoutdecoding_tpu.ops.uncertainty import vision_uncertainty
+
+    logits = jnp.asarray(rng.normal(size=(2, 12, 64)).astype(np.float32) * 2)
+    valid = np.zeros((2, 12), bool)
+    valid[0, :7] = True
+    valid[1, :10] = True
+
+    got = vision_uncertainty(logits, valid=jnp.asarray(valid))
+    for b, n in ((0, 7), (1, 10)):
+        ref = vision_uncertainty(logits[b : b + 1, :n])
+        np.testing.assert_allclose(
+            np.asarray(got["epis_uncert_per_token"])[b, :n],
+            np.asarray(ref["epis_uncert_per_token"])[0],
+            rtol=1e-5, atol=1e-6,
+        )
+        for k in ("variance", "epis_uncert", "alea_uncert"):
+            np.testing.assert_allclose(
+                np.asarray(got[k])[b], np.asarray(ref[k])[0],
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )

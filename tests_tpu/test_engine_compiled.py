@@ -309,3 +309,84 @@ def test_llavanext_prefix_extend_compiled():
         np.asarray(got.first_token)[decisive],
         np.asarray(ref.first_token)[decisive],
     )
+
+
+def test_fused_leaves_decode_step_compiled(small_engine):
+    """Fused qkv/gate_up weight leaves (the single-device CLI default,
+    --fuse-proj) through the COMPILED int8 decode path: decode_step
+    hidden states match the split-leaf program to bf16 tiling noise, and
+    the full fused-step generate runs with fused leaves."""
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.models import llama as llama_mod
+    from dropoutdecoding_tpu.utils.config import (
+        EnsembleConfig,
+        GenerationConfig,
+    )
+    from dropoutdecoding_tpu.utils.quantize import (
+        fuse_projections,
+        quantize_llama_params,
+    )
+
+    cfg, params, _ = small_engine
+    qlm = quantize_llama_params(params.lm)
+    flm = fuse_projections(dict(qlm))
+    rng = np.random.default_rng(5)
+
+    B, M, Smax = 2, 3, 64
+    D = cfg.text.hidden_size
+    x = jnp.asarray(rng.normal(size=(B, M, D)) * 0.3, jnp.bfloat16)
+    cache = llama_mod.empty_cache(cfg.text, B, Smax, jnp.bfloat16, quantized=True)
+    mask = jnp.broadcast_to(jnp.arange(Smax)[None, None, :] < 9, (B, M, Smax))
+    pos = jnp.full((B,), 9)
+
+    h_s, k_s, v_s = jax.jit(llama_mod.decode_step, static_argnums=(1,))(
+        qlm, cfg.text, x, pos, cache, mask
+    )
+    h_f, k_f, v_f = jax.jit(llama_mod.decode_step, static_argnums=(1,))(
+        flm, cfg.text, x, pos, cache, mask
+    )
+    ha, hb = np.asarray(h_s, np.float32), np.asarray(h_f, np.float32)
+    scale = np.abs(ha).max() + 1e-9
+    assert np.abs(ha - hb).max() / scale < 2e-2  # bf16 tiling noise only
+    np.testing.assert_allclose(
+        np.asarray(k_s, np.float32), np.asarray(k_f, np.float32),
+        rtol=2e-2, atol=2e-2 * scale,
+    )
+
+    # full generate with fused int8 leaves + int8 KV (the deployment path)
+    fe = LlavaEngine(
+        cfg=cfg,
+        params=params._replace(lm=flm),
+        ens=EnsembleConfig(fused_step=True),
+        gen=GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0),
+        max_len=64,
+        ensemble=True,
+        seed=24,
+        int8_kv=True,
+    )
+    ids, px, lens = _inputs(cfg, 2, rng)
+    out = fe.generate(ids, px)
+    assert out.tokens.shape == (2, 6)
+    assert (out.tokens >= 0).all()
+
+
+def test_chunked_prefill_matches_one_shot_compiled(small_engine):
+    """Chunked prefill (serving stall bound) == one-shot prefill on
+    hardware: same first token where the top-2 margin exceeds bf16
+    program-split noise, close logits, same full generation path."""
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(7)
+    ids, px, _ = _inputs(cfg, 1, rng)
+
+    ref = eng.prefill(ids, px)
+    got = eng.prefill_chunked(ids, px, chunk=8)
+    la = np.asarray(ref.last_logits)
+    lb = np.asarray(got.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 2e-2, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    if (top2[:, 1] - top2[:, 0]) / scale > 2 * noise:
+        np.testing.assert_array_equal(
+            np.asarray(got.first_token), np.asarray(ref.first_token)
+        )
