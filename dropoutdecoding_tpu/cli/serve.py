@@ -20,36 +20,112 @@ import argparse
 import json
 import queue
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class CaptionService:
     def __init__(self, engine, processor, model: str, n_slots: int = 8,
-                 step_chunk: int = 8):
+                 step_chunk: int = 8, chunked_prefill: int | None = None):
         from ..engine.serving import DecodeServer
 
         self.engine = engine
         self.processor = processor
         self.model = model
         self.step_chunk = max(int(step_chunk), 1)
+        # chunked_prefill = C: joining requests prefill in C-token
+        # dispatches with decode steps pumped between them, bounding how
+        # long active streams starve (serving.submit_chunked)
+        self.chunked_prefill = chunked_prefill
         self.server = DecodeServer(engine=engine, n_slots=n_slots)
         self.inbox: "queue.Queue" = queue.Queue()
         self.events: dict = {}
         self.results: dict = {}
+        self.streams: dict = {}  # rid -> queue of text deltas (SSE)
+        self._t0 = time.time()
+        self._done = 0
+        self._tokens_out = 0
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
 
-    def caption(self, image, prompt: str, timeout: float = 300.0) -> str:
+    def caption(self, image, prompt: str, timeout: float = 300.0,
+                max_new_tokens: int | None = None) -> str:
         rid = uuid.uuid4().hex
         ev = threading.Event()
         self.events[rid] = ev
-        self.inbox.put((rid, image, prompt))
+        self.inbox.put((rid, image, prompt, max_new_tokens))
         if not ev.wait(timeout):
             raise TimeoutError(rid)
         tokens = self.results.pop(rid)
         self.events.pop(rid, None)
         return self.processor.decode(tokens).strip()
+
+    def caption_stream(self, image, prompt: str, timeout: float = 300.0,
+                       max_new_tokens: int | None = None):
+        """Generator of text deltas as the request decodes (one delta per
+        step chunk) — the serving loop publishes newly generated tokens
+        after every dispatch."""
+        rid = uuid.uuid4().hex
+        q: "queue.Queue" = queue.Queue()
+        self.streams[rid] = q
+        self.inbox.put((rid, image, prompt, max_new_tokens))
+        try:
+            while True:
+                item = q.get(timeout=timeout)
+                if item is None:  # request finished
+                    return
+                yield item
+        finally:
+            self.streams.pop(rid, None)
+
+    def stats(self) -> dict:
+        el = max(time.time() - self._t0, 1e-9)
+        return {
+            "active_slots": self.server.active(),
+            "n_slots": self.server.n_slots,
+            "pending": self.inbox.qsize(),
+            "requests_done": self._done,
+            "tokens_generated": self._tokens_out,
+            "uptime_s": round(el, 1),
+            "requests_per_s": round(self._done / el, 3),
+            "tokens_per_s": round(self._tokens_out / el, 2),
+        }
+
+    def _publish_stream_deltas(self):
+        """Push newly decoded tokens of streaming requests (one small
+        host fetch per serving loop iteration)."""
+        live = [
+            (slot, rid)
+            for slot, rid in enumerate(self.server._requests)
+            if rid in self.streams
+        ]
+        if not live:
+            return
+        import numpy as np
+
+        steps = np.asarray(self.server._carry["steps"])
+        bufs = np.asarray(self.server._carry["tokens_buf"])
+        for slot, rid in live:
+            q = self.streams.get(rid)
+            if q is None:
+                continue
+            n = int(steps[slot])
+            sent = getattr(q, "_sent", 0)
+            if n > sent:
+                text = self.processor.decode(bufs[slot][sent:n])
+                q._sent = n
+                if text:
+                    q.put(text)
+
+    def _submit(self, rid, args, max_new):
+        if self.chunked_prefill and self.model in ("llava-1.5", "llava-next"):
+            self.server.submit_chunked(
+                rid, *args, chunk=self.chunked_prefill,
+                pump_steps=self.step_chunk, max_new_tokens=max_new,
+            )
+        else:
+            self.server.submit(rid, *args, max_new_tokens=max_new)
 
     def _loop(self):
         pending = []
@@ -72,31 +148,57 @@ class CaptionService:
                     for _ in range(min(len(free), len(pending)))
                 ]
                 items = []
-                for rid, image, prompt in take:
+                for rid, image, prompt, max_new in take:
                     inputs = self.processor(prompt, image)
                     items.append(
-                        (rid, (inputs["input_ids"], inputs["pixel_values"]))
+                        (rid, (inputs["input_ids"], inputs["pixel_values"]),
+                         max_new)
                     )
-                if self.model == "llava-1.5":
-                    self.server.submit_many(items)
+                plain = (
+                    self.model == "llava-1.5"
+                    and not self.chunked_prefill
+                    and all(m is None for _, _, m in items)
+                )
+                if plain:
+                    self.server.submit_many([(r, a) for r, a, _ in items])
                 else:
-                    for rid, args in items:
-                        self.server.submit(rid, *args)
+                    for rid, args, max_new in items:
+                        self._submit(rid, args, max_new)
             if self.server.active():
                 # chunked dispatch: one host round-trip per step_chunk
                 # decode steps (engine/serving.py step(n))
                 self.server.step(self.step_chunk)
+                self._publish_stream_deltas()
                 for rid, tokens in self.server.harvest().items():
+                    self._done += 1
+                    self._tokens_out += len(tokens)
                     self.results[rid] = tokens
                     ev = self.events.get(rid)
                     if ev:
                         ev.set()
+                    sq = self.streams.get(rid)
+                    if sq is not None:
+                        # flush any tail the last publish missed
+                        sent = getattr(sq, "_sent", 0)
+                        if len(tokens) > sent:
+                            sq.put(self.processor.decode(tokens[sent:]))
+                        sq.put(None)
 
 
 def make_handler(service: CaptionService, default_prompt: str):
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/stats":
+                self.send_error(404)
+                return
+            payload = json.dumps(service.stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_POST(self):
-            if self.path != "/caption":
+            if self.path not in ("/caption", "/caption_stream"):
                 self.send_error(404)
                 return
             try:
@@ -107,7 +209,23 @@ def make_handler(service: CaptionService, default_prompt: str):
 
                 image = Image.open(body["image_path"]).convert("RGB")
                 prompt = body.get("prompt_template") or default_prompt
-                text = service.caption(image, prompt)
+                max_new = body.get("max_new_tokens")
+                if self.path == "/caption_stream":
+                    # server-sent events: one `data:` line per step chunk
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    for delta in service.caption_stream(
+                        image, prompt, max_new_tokens=max_new
+                    ):
+                        self.wfile.write(
+                            f"data: {json.dumps({'delta': delta})}\n\n".encode()
+                        )
+                        self.wfile.flush()
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    return
+                text = service.caption(image, prompt, max_new_tokens=max_new)
                 payload = json.dumps({"caption": text}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -133,6 +251,7 @@ def main(args):
     service = CaptionService(
         engine, processor, args.model, n_slots=args.slots,
         step_chunk=args.step_chunk,
+        chunked_prefill=getattr(args, "chunked_prefill", None),
     )
     handler = make_handler(service, PROMPTS[args.model])
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), handler)
@@ -171,6 +290,12 @@ def build_parser():
     )
     p.add_argument("--int8-kv", type=str2bool, default=False,
                    help="int8-quantized KV cache for the slot pool")
+    p.add_argument("--chunked-prefill", type=int, default=None,
+                   help="prefill joining requests in N-token dispatches "
+                   "with decode steps pumped between them — bounds how "
+                   "long active streams starve during a long prefill "
+                   "(engine.prefill_chunked; biggest effect at "
+                   "LLaVA-NeXT's ~3k-token prompts)")
     p.add_argument("--fuse-proj", type=str2bool, default=True,
                    help="fuse qkv/gate+up weight leaves on single-device "
                    "runs (identical outputs; tests/test_fused_proj.py)")

@@ -53,3 +53,50 @@ def test_caption_service_concurrent(tiny_llava, rng):
     assert len(captions) == 3
     for c in captions:
         assert c.startswith("t") and len(c.split()) == 5
+
+
+def test_caption_service_stream_stats_budget_chunked(tiny_llava, rng):
+    """Round-3 serving surface: streaming deltas reassemble to the full
+    caption, /stats counters advance, per-request max_new_tokens
+    truncates, and chunked-prefill submission produces the same caption."""
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def mk(chunked):
+        eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(mask_policy="epis"),
+            gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                                 pad_token_id=0),
+            max_len=48,
+            ensemble=True,
+        )
+        eng.param_dtype = jnp.float32
+        return CaptionService(
+            eng, _TinyProcessor(cfg), "llava-1.5", n_slots=2,
+            chunked_prefill=chunked,
+        )
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((30, 30, 3)) * 255).astype(np.uint8),
+        "RGB",
+    )
+    svc = mk(None)
+    full = svc.caption(img, "Describe the image.", timeout=300)
+    assert len(full.split()) == 5
+
+    # streaming: concatenated deltas == the full caption's tokens
+    deltas = list(svc.caption_stream(img, "Describe the image.", timeout=300))
+    assert deltas and " ".join(" ".join(deltas).split()) == full
+
+    # per-request budget truncates
+    short = svc.caption(img, "Describe the image.", timeout=300,
+                        max_new_tokens=2)
+    assert short == " ".join(full.split()[:2])
+
+    st = svc.stats()
+    assert st["requests_done"] == 3 and st["tokens_generated"] == 12
+
+    # chunked-prefill service path: same caption
+    svc2 = mk(8)
+    assert svc2.caption(img, "Describe the image.", timeout=300) == full
