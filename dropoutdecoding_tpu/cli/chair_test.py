@@ -154,11 +154,29 @@ def make_engine(args):
             params = params._replace(lm=fuse_projections(params.lm))
         return params
 
+    spec_gamma = getattr(args, "spec_gamma", None)
+    if spec_gamma:
+        if not str2bool(args.original) or model != "llava-1.5":
+            raise SystemExit(
+                "--spec-gamma accelerates the greedy baseline: pass "
+                "--original True with --model llava-1.5"
+            )
+        if common["int8_kv"] or do_sample or num_beams > 1:
+            raise SystemExit(
+                "--spec-gamma needs a dense KV cache and plain greedy "
+                "(drop --int8-kv / --do-sample / --num-beams)"
+            )
+        if (getattr(args, "batch_size", 1) or 1) > 1:
+            raise SystemExit(
+                "--spec-gamma is single-stream (B=1); drop --batch-size"
+            )
+
     if model == "llava-1.5":
         from ..engine.generate import LlavaEngine
         from ..models import llava as llava_mod
 
         cfg, params = llava_mod.load(args.model_path, jnp.bfloat16)
+        raw_lm = params.lm
         params = maybe_quantize(params)
         engine = LlavaEngine(
             cfg=cfg,
@@ -166,6 +184,18 @@ def make_engine(args):
             max_len=cfg.vision.num_patches + 64 + 512,
             **common,
         )
+        if spec_gamma:
+            # int4 self-draft quantized from the SAME loaded weights
+            # (greedy acceptance => output identical to plain greedy;
+            # engine/speculative.py)
+            from ..engine.speculative import SpeculativeGreedy
+            from ..utils.quantize import quantize_llama_params_int4
+
+            engine._spec = SpeculativeGreedy(
+                engine=engine,
+                draft_lm=quantize_llama_params_int4(raw_lm),
+                gamma=int(spec_gamma),
+            )
     elif model == "instructblip":
         from ..engine.instructblip_engine import InstructBlipEngine
         from ..models import instructblip as ib_mod
@@ -291,6 +321,13 @@ def run_engine(engine, processor, model, prompt, image):
                 length_penalty=engine.gen.length_penalty,
                 early_stopping=engine.gen.early_stopping,
             )
+        elif getattr(engine, "_spec", None) is not None:
+            # speculative greedy (--spec-gamma): token-identical to
+            # engine.generate, fewer target weight streams per token
+            tokens, _, _ = engine._spec.generate(
+                inputs["input_ids"], inputs["pixel_values"]
+            )
+            return processor.decode(tokens)
         else:
             result = engine.generate(inputs["input_ids"], inputs["pixel_values"])
     return processor.decode(result.tokens[0][: result.num_tokens[0]])
@@ -633,6 +670,16 @@ def build_parser():
         "'int4' = weight-only group-wise (g=128) clip-searched 4-bit "
         "projections with an int8 lm_head — near-halves the int8 decode "
         "weight stream (drift measured in cli/fused_gap.py --study int4)",
+    )
+    p.add_argument(
+        "--spec-gamma",
+        type=int,
+        default=None,
+        help="speculative greedy decoding for --original runs (llava-1.5, "
+        "dense KV): draft N tokens per cycle with an int4 self-draft of "
+        "the same weights, verify in one target forward — output is "
+        "token-identical to plain greedy (engine/speculative.py; "
+        "acceptance-dependent speedup, see STATUS.md)",
     )
     p.add_argument(
         "--fuse-proj",

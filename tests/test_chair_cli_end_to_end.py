@@ -252,3 +252,38 @@ def test_chair_cli_batch_size_rejected_for_vcd_and_beam(
             tmp_path,
             ["--original", "True", "--num-beams", "3", "--batch-size", "4"],
         )
+
+
+def test_chair_cli_spec_gamma_matches_original(
+    synthetic_coco, tmp_path, monkeypatch, tiny_llava
+):
+    """--spec-gamma (speculative greedy) captions == plain --original
+    captions: greedy acceptance guarantees token identity; only the
+    number of target dispatches changes."""
+    from dropoutdecoding_tpu.cli import chair_test as cli
+    from dropoutdecoding_tpu.engine.speculative import SpeculativeGreedy
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_plain(args):
+        return _mk_fake_engine(cfg, params, ensemble=False), _TinyProcessor(cfg)
+
+    def fake_spec(args):
+        eng = _mk_fake_engine(cfg, params, ensemble=False)
+        eng._spec = SpeculativeGreedy(engine=eng, draft_lm=params.lm, gamma=3)
+        return eng, _TinyProcessor(cfg)
+
+    d1 = tmp_path / "plain"
+    d2 = tmp_path / "spec"
+    d1.mkdir(); d2.mkdir()
+    monkeypatch.setattr(cli, "make_engine", fake_plain)
+    monkeypatch.chdir(d1)
+    plain = _run_cli(cli, synthetic_coco, d1, ["--original", "True"])
+    monkeypatch.setattr(cli, "make_engine", fake_spec)
+    monkeypatch.chdir(d2)
+    spec = _run_cli(
+        cli, synthetic_coco, d2,
+        ["--original", "True", "--spec-gamma", "3"],
+    )
+    assert plain == spec
+    assert len(plain) == 4
