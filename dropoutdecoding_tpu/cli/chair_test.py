@@ -161,10 +161,10 @@ def make_engine(args):
                 "--spec-gamma accelerates the greedy baseline: pass "
                 "--original True with --model llava-1.5"
             )
-        if common["int8_kv"] or do_sample or num_beams > 1:
+        if do_sample or num_beams > 1:
             raise SystemExit(
-                "--spec-gamma needs a dense KV cache and plain greedy "
-                "(drop --int8-kv / --do-sample / --num-beams)"
+                "--spec-gamma is plain greedy "
+                "(drop --do-sample / --num-beams)"
             )
         if (getattr(args, "batch_size", 1) or 1) > 1:
             raise SystemExit(

@@ -485,7 +485,9 @@ class LlavaEngine:
         token); right padding is exact under causal attention."""
         cfg = self.cfg
         B, T = tail_ids.shape
-        P = prefix_kv.k.shape[2]
+        P = (
+            prefix_kv.k["q"] if isinstance(prefix_kv.k, dict) else prefix_kv.k
+        ).shape[2]
         emb = llama_mod.embed(params.lm, tail_ids)
         positions = jnp.broadcast_to(P + jnp.arange(T)[None], (B, T))
         hidden, _ = llama_mod.prefill_extend(
@@ -837,10 +839,25 @@ class LlavaEngine:
 
     def probe_prefix(self, prefix_ids, pixel_values):
         """Prefix KV for probe_extend: run the shared [text-prefix +
-        image] span once per image (prefix caching)."""
-        return self._probe_prefix(
+        image] span once per image (prefix caching).  int8_kv engines
+        store the cached prefix quantized (halves resident bytes per
+        cached image; probe_extend reads it via
+        ops.attention.extend_attention_int8prefix)."""
+        kv = self._probe_prefix(
             self.params, jnp.asarray(prefix_ids), jnp.asarray(pixel_values)
         )
+        if self.int8_kv:
+            from ..utils.quantize import quantize_kv
+
+            def q(x):
+                d = quantize_kv(x)
+                return {
+                    "q": d["q"].reshape(d["q"].shape[:-2] + (-1,)),
+                    "s": jnp.swapaxes(d["s"][..., 0], 2, 3),
+                }
+
+            kv = llama_mod.KVCache(q(kv.k), q(kv.v))
+        return kv
 
     def probe_extend(self, prefix_kv, tail_ids, text_lens=None) -> ProbeResult:
         """1-token answers for a batch of question tails over a cached

@@ -27,8 +27,10 @@ is a superset of the junk window for every acceptance count).
 
 The reference has no speculative tier (HF greedy loop throughout);
 per-token cost there is K+1 sequential forwards (llava.py:292-376).
-Requires a dense (bf16/fp32) target KV cache — the verify extend reads
-the prefix directly (int8_kv engines are rejected loudly).
+Works on dense AND int8-KV engines: the verify extend reads the
+quantized prefix directly (ops.attention.extend_attention_int8prefix)
+and the block append quantizes per row, bit-identical to the engine's
+sequential appends.
 """
 from __future__ import annotations
 
@@ -59,12 +61,6 @@ class SpeculativeGreedy:
     gamma: int = 4
 
     def __post_init__(self):
-        if getattr(self.engine, "int8_kv", False):
-            raise ValueError(
-                "speculative decoding needs a dense KV cache (the verify "
-                "extend reads the prefix); build the engine with "
-                "int8_kv=False — int8/int4 WEIGHTS are fine"
-            )
         if getattr(self.engine, "ensemble", True):
             raise ValueError(
                 "speculative decoding accelerates the GREEDY baseline "
@@ -131,12 +127,10 @@ class SpeculativeGreedy:
         n_acc = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))
 
         # append the verify KV at rows [cur, cur+G]; rows past the
-        # accepted prefix are junk the next cycle's append overwrites
-        c = cur_len[0]
-        tcache = llama_mod.KVCache(
-            jax.lax.dynamic_update_slice(tcache.k, kv_new.k, (0, 0, c, 0, 0)),
-            jax.lax.dynamic_update_slice(tcache.v, kv_new.v, (0, 0, c, 0, 0)),
-        )
+        # accepted prefix are junk the next cycle's append overwrites.
+        # int8 caches quantize per row, so the block write is
+        # bit-identical to the engine's sequential appends.
+        tcache = llama_mod.cache_write_span(tcache, cur_len[0], kv_new)
         new_cur = cur_len + n_acc + 1
         new_token = g[n_acc][None]
         return tcache, dcache, new_cur, new_token, g, n_acc

@@ -152,6 +152,30 @@ def cache_seed(cache: KVCache, kv: KVCache) -> KVCache:
     )
 
 
+def cache_write_span(cache: KVCache, start, kv: KVCache) -> KVCache:
+    """Write a dense K/V block ([L, B, T, KH, D]) at slot ``start``
+    (traced scalar) — the speculative verify's block append; handles
+    both dense and int8 cache layouts (quantization is per row, so a
+    block write produces bit-identical leaves to T sequential
+    cache_set_rows appends)."""
+    kn, vn = _quantize_new(cache, kv.k, kv.v)
+    start = jnp.asarray(start, jnp.int32)
+
+    def upd(c, new):
+        return jax.lax.dynamic_update_slice_in_dim(
+            c, new.astype(c.dtype), start, axis=2
+        )
+
+    def upd_s(c, new):  # c [L,B,KH,S]; new scales [L,B,T,KH,1]
+        new_t = jnp.swapaxes(new[..., 0], 2, 3)  # -> [L,B,KH,T]
+        return jax.lax.dynamic_update_slice_in_dim(c, new_t, start, axis=3)
+
+    return KVCache(
+        _leaf_map(upd, cache.k, kn, f_s=upd_s),
+        _leaf_map(upd, cache.v, vn, f_s=upd_s),
+    )
+
+
 def cache_set_rows(
     cache: KVCache, cur_len: jax.Array, k_new: jax.Array, v_new: jax.Array
 ) -> KVCache:
@@ -608,7 +632,11 @@ def prefill_extend(
     Args:
       inputs_embeds: [B, T, D] tail embeddings.
       positions: [B, T] ABSOLUTE rope positions (prefix_len + arange(T)).
-      prefix: KVCache with [L, Bp, P, KH, Dh] leaves, Bp in {1, B} —
+      prefix: KVCache with [L, Bp, P, KH, Dh] dense leaves OR the int8
+        decode layout ({"q": [L, Bp, P, KH*D], "s": [L, Bp, KH, P]}) —
+        the deployment config's prefix caches / chunked buffers /
+        speculative verify read the quantized prefix directly
+        (ops.attention.extend_attention_int8prefix).  Bp in {1, B};
         Bp=1 broadcasts one image's prefix across all question rows with
         no copy.
       prefix_mask: optional [Bp, P] bool validity — False = padding slot
@@ -616,13 +644,14 @@ def prefill_extend(
     Returns:
       (hidden [B, T, D] final-norm output, tail KVCache [L, B, T, KH, Dh]).
     """
-    from ..ops.attention import extend_attention
+    from ..ops.attention import extend_attention, extend_attention_int8prefix
 
     B, T, D = inputs_embeds.shape
     H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = rotary_embedding(positions, Dh, cfg.rope_theta)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     mm = _mm_w8a8 if w8a8 else _mm
+    quantized_prefix = isinstance(prefix.k, dict)
 
     def layer(x, xs):
         lp, pk, pv = xs
@@ -630,7 +659,16 @@ def prefill_extend(
         q, k, v = _qkv(lp, h, mm, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = extend_attention(q, k, v, pk, pv, prefix_mask)
+        if quantized_prefix:
+            Bp, P = pk["q"].shape[0], pk["q"].shape[1]
+            attn = extend_attention_int8prefix(
+                q, k, v,
+                pk["q"].reshape(Bp, P, KH, Dh), pk["s"],
+                pv["q"].reshape(Bp, P, KH, Dh), pv["s"],
+                prefix_mask,
+            )
+        else:
+            attn = extend_attention(q, k, v, pk, pv, prefix_mask)
         x = x + mm(attn.reshape(B, T, H * Dh), lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
         return x + _mlp(lp, h2, mm), (k, v)

@@ -316,3 +316,81 @@ def extend_attention(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def extend_attention_int8prefix(
+    q: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    kq: jax.Array,
+    ks: jax.Array,
+    vq: jax.Array,
+    vs: jax.Array,
+    prefix_mask: jax.Array | None = None,
+) -> jax.Array:
+    """``extend_attention`` over an int8-quantized prefix (the KVCache
+    decode layout) — lets the DEPLOYMENT config (int8 KV) run
+    prefix-cached probes, chunked buffers, and the speculative verify
+    without a dense prefix copy.  Scale folding mirrors
+    ensemble_decode_attention_int8kv: per-key scales fold into the score
+    after the int8->activation dot, per-value scales into the
+    probabilities before the PV dot.
+
+    Args:
+      q: [B, T, H, D]; k_new/v_new: [B, T, KH, D] (unquantized chunk);
+      kq/vq: [Bp, P, KH, D] int8; ks/vs: [Bp, KH, P] f32;
+      prefix_mask: optional [Bp, P] bool (False = pad/invalid slot).
+    Returns: [B, T, H, D].
+    """
+    B, T, H, D = q.shape
+    KH = k_new.shape[2]
+    n = H // KH
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    qg = q.reshape(B, T, KH, n, D)
+
+    kp = kq.astype(q.dtype)
+    # ks/vs arrive in the cache layout [Bp, KH, P]; fold as [Bp,1,KH,1,P]
+    # against the [B, T, KH, n, P] scores
+    if kq.shape[0] == 1:
+        sp = jnp.einsum(
+            "btknd,pkd->btknp", qg, kp[0],
+            preferred_element_type=jnp.float32,
+        )
+        sp = sp * ks[0][None, None, :, None, :]
+    else:
+        sp = jnp.einsum(
+            "btknd,bpkd->btknp", qg, kp,
+            preferred_element_type=jnp.float32,
+        )
+        sp = sp * ks[:, None, :, None, :]
+    if prefix_mask is not None:
+        pm = prefix_mask[:, None, None, None, :]
+        sp = jnp.where(pm, sp, _NEG_INF)
+    st = jnp.einsum(
+        "btknd,bskd->btkns", qg, k_new, preferred_element_type=jnp.float32
+    )
+    qi = jnp.arange(T)[:, None]
+    si = jnp.arange(T)[None, :]
+    st = jnp.where((si <= qi)[None, :, None, None, :], st, _NEG_INF)
+    scores = jnp.concatenate([sp, st], axis=-1) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    P = kq.shape[1]
+    pp, pt = probs[..., :P], probs[..., P:]
+    # fold value scales into the probabilities, then one int8->bf16 dot
+    if vq.shape[0] == 1:
+        ppv = pp * vs[0][None, None, :, None, :]
+        out = jnp.einsum(
+            "btknp,pkd->btknd", ppv.astype(q.dtype), vq[0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        ppv = pp * vs[:, None, :, None, :]
+        out = jnp.einsum(
+            "btknp,bpkd->btknd", ppv.astype(q.dtype), vq.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    out = out + jnp.einsum(
+        "btkns,bskd->btknd", pt.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, H, D).astype(q.dtype)

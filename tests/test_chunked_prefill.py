@@ -224,3 +224,56 @@ def test_llavanext_chunked_prefill_matches_one_shot(tiny_llava_next_shared):
     ref_tok, _ = e._decode(e.params, ref)
     got_tok, _ = e._decode(e.params, got)
     np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(ref_tok))
+
+
+def test_llavanext_int8_prefix_cache_probe(tiny_llava_next_shared):
+    """NeXT prefix cache under int8_kv: quantized handle, answers track
+    the dense-prefix answers on decisive rows."""
+    import numpy as np
+
+    from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+    from dropoutdecoding_tpu.models import llavanext as next_mod
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+    from PIL import Image
+
+    cfg, params, pinpoints = tiny_llava_next_shared
+    rng = np.random.default_rng(9)
+    prep = LlavaNextImagePreprocessor(pinpoints, tile_size=28)
+    img = Image.fromarray(
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8), "RGB"
+    )
+    tiles, orig = prep(img)
+
+    def eng(int8):
+        e = LlavaNextEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(topk=10),
+            gen=GenerationConfig(
+                max_new_tokens=1, eos_token_id=63, pad_token_id=63
+            ),
+            max_len=next_mod.max_image_tokens(cfg) + 32,
+            ensemble=True,
+            int8_kv=int8,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    prefix_ids = np.array([[1, 5, 32, 11]])
+    tails = np.asarray(rng.integers(3, 60, size=(2, 4)), np.int32)
+    dense, quant = eng(False), eng(True)
+    hd = dense.probe_prefix(prefix_ids, tiles, orig)
+    hq = quant.probe_prefix(prefix_ids, tiles, orig)
+    assert isinstance(hq[0].k, dict) and hq[0].k["q"].dtype == jnp.int8
+    rd = dense.probe_extend(hd, tails)
+    rq = quant.probe_extend(hq, tails)
+    la, lb = np.asarray(rd.last_logits), np.asarray(rq.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 0.05, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    decisive = (top2[:, 1] - top2[:, 0]) / scale > 2 * noise
+    np.testing.assert_array_equal(
+        np.asarray(rq.first_token)[decisive],
+        np.asarray(rd.first_token)[decisive],
+    )

@@ -199,3 +199,82 @@ def test_llavanext_probe_prefix_extend_matches_probe(rng):
             np.asarray(ref.last_logits[0]),
             rtol=1e-4, atol=1e-4, err_msg=f"row {qi}",
         )
+
+
+def test_extend_int8_prefix_tracks_dense(tower, rng):
+    """prefill_extend over the int8-quantized prefix layout (the
+    deployment config's prefix caches / speculative verify) tracks the
+    dense-prefix extend within int8-KV quantization noise."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_kv
+
+    cfg, params = tower
+    P, T = 12, 5
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, P + T)))
+    x = llama.embed(params, ids)
+    pos = jnp.arange(P + T)[None]
+    _, kv_pre = llama.prefill(params, cfg, x[:, :P], pos[:, :P])
+
+    h_dense, _ = llama.prefill_extend(params, cfg, x[:, P:], pos[:, P:], kv_pre)
+
+    def q(leaf):
+        d = quantize_kv(leaf)
+        return {
+            "q": d["q"].reshape(d["q"].shape[:-2] + (-1,)),
+            "s": jnp.swapaxes(d["s"][..., 0], 2, 3),
+        }
+
+    kv_q = llama.KVCache(q(kv_pre.k), q(kv_pre.v))
+    h_q, _ = llama.prefill_extend(params, cfg, x[:, P:], pos[:, P:], kv_q)
+    scale = np.abs(np.asarray(h_dense)).max() + 1e-9
+    assert np.abs(np.asarray(h_q) - np.asarray(h_dense)).max() / scale < 0.05
+
+
+def test_engine_int8_prefix_cache_probe(tiny_llava, rng):
+    """int8_kv engine prefix cache: probe_prefix stores the quantized
+    prefix; probe_extend answers match the dense-prefix answers on
+    decisive rows (first-token margins beyond int8-KV noise)."""
+    import dataclasses
+
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import (
+        EnsembleConfig,
+        GenerationConfig,
+    )
+
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+
+    def eng(int8):
+        e = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(
+                max_new_tokens=1, eos_token_id=63, pad_token_id=63
+            ),
+            max_len=64,
+            ensemble=True,
+            int8_kv=int8,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    dense, quant = eng(False), eng(True)
+    prefix_ids = input_ids  # whole prompt as the shared prefix
+    tails = np.asarray(rng.integers(3, 60, size=(3, 4)), np.int32)
+
+    kv_d = dense.probe_prefix(prefix_ids, pixels)
+    kv_q = quant.probe_prefix(prefix_ids, pixels)
+    assert isinstance(kv_q.k, dict) and kv_q.k["q"].dtype == jnp.int8
+
+    rd = dense.probe_extend(kv_d, tails)
+    rq = quant.probe_extend(kv_q, tails)
+    la, lb = np.asarray(rd.last_logits), np.asarray(rq.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 0.05, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    decisive = (top2[:, 1] - top2[:, 0]) / scale > 2 * noise
+    np.testing.assert_array_equal(
+        np.asarray(rq.first_token)[decisive],
+        np.asarray(rd.first_token)[decisive],
+    )

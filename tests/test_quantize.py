@@ -413,3 +413,37 @@ def test_int4_group_autofit(rng):
     x = llama.embed(q, ids)
     hidden, _ = llama.prefill(q, cfg, x, jnp.arange(5)[None])
     assert hidden.shape == (1, 5, 48)
+
+
+def test_extend_attention_int8prefix_matches_dequantized():
+    """extend_attention over an int8 prefix == extend_attention over the
+    dequantized prefix (scale folding is exact in fp32), incl. Bp=1
+    broadcast and a prefix validity mask."""
+    from dropoutdecoding_tpu.ops.attention import (
+        extend_attention,
+        extend_attention_int8prefix,
+    )
+    from dropoutdecoding_tpu.utils.quantize import quantize_kv
+
+    rng = np.random.default_rng(5)
+    B, T, H, KH, D, P = 2, 3, 4, 2, 8, 10
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, T, KH, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, T, KH, D)), jnp.float32)
+    for Bp in (1, B):
+        kp = jnp.asarray(rng.normal(size=(Bp, P, KH, D)), jnp.float32)
+        vp = jnp.asarray(rng.normal(size=(Bp, P, KH, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((Bp, P)) > 0.2)
+        kq, vq = quantize_kv(kp), quantize_kv(vp)
+        # scales stored [Bp, KH, P] (cache layout)
+        ks = jnp.swapaxes(kq["s"][..., 0], 1, 2)
+        vs = jnp.swapaxes(vq["s"][..., 0], 1, 2)
+        deq_k = kq["q"].astype(jnp.float32) * kq["s"]
+        deq_v = vq["q"].astype(jnp.float32) * vq["s"]
+        ref = extend_attention(q, kn, vn, deq_k, deq_v, mask)
+        got = extend_attention_int8prefix(
+            q, kn, vn, kq["q"], ks, vq["q"], vs, mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

@@ -57,15 +57,28 @@ def test_spec_full_acceptance_with_target_draft(tiny_llava, rng):
     assert accepted == 2 * 3
 
 
-def test_spec_rejects_int8_kv_and_ensemble(tiny_llava):
+def test_spec_rejects_ensemble(tiny_llava):
     _, cfg, params, _, _, _ = tiny_llava
-    with pytest.raises(ValueError, match="dense KV"):
-        e = _engine(cfg, params)
-        e.int8_kv = True
-        SpeculativeGreedy(engine=e, draft_lm=params.lm)
     with pytest.raises(ValueError, match="GREEDY"):
         e = _engine(cfg, params, ensemble=True, ens=EnsembleConfig())
         SpeculativeGreedy(engine=e, draft_lm=params.lm)
+
+
+def test_spec_int8_kv_matches_int8_greedy(tiny_llava):
+    """The DEPLOYMENT config speculates: int8 KV target cache — the
+    verify extend reads the quantized prefix (extend_attention_int8prefix)
+    and the block append quantizes per row, so spec output == the int8-KV
+    engine's own greedy tokens exactly (fp32 compute)."""
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    e = _engine(cfg, params)
+    e.int8_kv = True
+    e.__post_init__()
+    ref = e.generate(input_ids, pixels).tokens[0]
+
+    spec = SpeculativeGreedy(engine=e, draft_lm=params.lm, gamma=3)
+    tokens, cycles, accepted = spec.generate(input_ids, pixels)
+    np.testing.assert_array_equal(tokens, ref)
+    assert accepted == cycles * 3  # target-draft: full acceptance
 
 
 def test_spec_with_int4_draft(tiny_llava):

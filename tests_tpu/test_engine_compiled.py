@@ -390,3 +390,36 @@ def test_chunked_prefill_matches_one_shot_compiled(small_engine):
         np.testing.assert_array_equal(
             np.asarray(got.first_token), np.asarray(ref.first_token)
         )
+
+
+def test_int8_prefix_extend_compiled(small_engine):
+    """Quantized-prefix extend (extend_attention_int8prefix through
+    prefill_extend's dict branch) on hardware: int8-prefix probe answers
+    track the dense-prefix answers on decisive rows."""
+    from dataclasses import replace as _replace
+
+    cfg, params, eng = small_engine
+    rng = np.random.default_rng(11)
+    ids, px, _ = _inputs(cfg, 1, rng)
+    tails = np.asarray(rng.integers(3, 500, size=(2, 6)), np.int32)
+
+    e8 = _replace(eng)
+    e8.int8_kv = True
+    e8.__post_init__()
+
+    kv_d = eng.probe_prefix(ids, px)
+    kv_q = e8.probe_prefix(ids, px)
+    assert isinstance(kv_q.k, dict)
+    rd = eng.probe_extend(kv_d, tails)
+    rq = e8.probe_extend(kv_q, tails)
+    la, lb = np.asarray(rd.last_logits), np.asarray(rq.last_logits)
+    scale = np.abs(la).max() + 1e-9
+    noise = np.abs(la - lb).max() / scale
+    assert noise < 0.06, noise
+    top2 = np.sort(la, axis=-1)[:, -2:]
+    decisive = (top2[:, 1] - top2[:, 0]) / scale > 2 * noise
+    if decisive.any():
+        np.testing.assert_array_equal(
+            np.asarray(rq.first_token)[decisive],
+            np.asarray(rd.first_token)[decisive],
+        )
