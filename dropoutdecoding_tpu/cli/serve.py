@@ -46,6 +46,10 @@ class CaptionService:
         self._t0 = time.time()
         self._done = 0
         self._tokens_out = 0
+        self._starts: dict = {}  # rid -> submit-to-loop timestamp
+        from collections import deque
+
+        self._lat = deque(maxlen=512)  # recent request latencies (s)
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
 
@@ -81,6 +85,8 @@ class CaptionService:
 
     def stats(self) -> dict:
         el = max(time.time() - self._t0, 1e-9)
+        lat = sorted(self._lat)
+        pct = lambda p: round(lat[int(p * (len(lat) - 1))], 3) if lat else None
         return {
             "active_slots": self.server.active(),
             "n_slots": self.server.n_slots,
@@ -90,6 +96,8 @@ class CaptionService:
             "uptime_s": round(el, 1),
             "requests_per_s": round(self._done / el, 3),
             "tokens_per_s": round(self._tokens_out / el, 2),
+            "latency_p50_s": pct(0.5),
+            "latency_p95_s": pct(0.95),
         }
 
     def _publish_stream_deltas(self):
@@ -149,6 +157,7 @@ class CaptionService:
                 ]
                 items = []
                 for rid, image, prompt, max_new in take:
+                    self._starts[rid] = time.time()
                     inputs = self.processor(prompt, image)
                     items.append(
                         (rid, (inputs["input_ids"], inputs["pixel_values"]),
@@ -172,6 +181,9 @@ class CaptionService:
                 for rid, tokens in self.server.harvest().items():
                     self._done += 1
                     self._tokens_out += len(tokens)
+                    t0 = self._starts.pop(rid, None)
+                    if t0 is not None:
+                        self._lat.append(time.time() - t0)
                     self.results[rid] = tokens
                     ev = self.events.get(rid)
                     if ev:

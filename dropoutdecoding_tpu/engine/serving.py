@@ -385,6 +385,19 @@ class DecodeServer:
             prev_logits0=prev_logits0,
         )
 
+    def cancel(self, request_id) -> bool:
+        """Abort an in-flight request: its slot is marked done (the
+        compiled step no-ops it) and becomes free at the next harvest;
+        already-finished or unknown ids return False.  No recompilation,
+        no cache copies — cancellation is a host-side flag plus one
+        scalar scatter."""
+        for slot, rid in enumerate(self._requests):
+            if rid == request_id:
+                self._requests[slot] = None
+                self._carry["done"] = self._carry["done"].at[slot].set(True)
+                return True
+        return False
+
     def harvest(self) -> Dict[Any, np.ndarray]:
         """Collect finished requests (done, or step budget exhausted);
         their slots become free."""

@@ -272,3 +272,30 @@ def test_per_request_max_new_tokens(tiny_llava, rng):
 
     with _pytest.raises(ValueError, match="max_new_tokens"):
         server.submit("bad", *reqs["r1"], max_new_tokens=99)
+
+
+def test_cancel_frees_slot_and_preserves_others(tiny_llava, rng):
+    """cancel(): the aborted request's slot frees without disturbing the
+    other stream's tokens; unknown ids return False."""
+    _, cfg, params, _, _, _ = tiny_llava
+    eng = _engine(cfg, params)
+    reqs = _requests(rng, 3)
+    expected = eng.generate(*reqs["r0"]).tokens[0]
+
+    srv = DecodeServer(engine=eng, n_slots=2)
+    srv.submit("r0", *reqs["r0"])
+    srv.submit("r1", *reqs["r1"])
+    srv.step()
+    assert srv.cancel("r1") is True
+    assert srv.cancel("nope") is False
+    results = {}
+    for _ in range(8):
+        srv.step()
+        results.update(srv.harvest())
+        if "r0" in results:
+            break
+    assert "r1" not in results
+    np.testing.assert_array_equal(results["r0"], expected)
+    # the freed slot is reusable
+    srv.submit("r2", *reqs["r2"])
+    assert srv.active() == 1
