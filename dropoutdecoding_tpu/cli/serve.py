@@ -158,11 +158,16 @@ class CaptionService:
                 items = []
                 for rid, image, prompt, max_new in take:
                     self._starts[rid] = time.time()
-                    inputs = self.processor(prompt, image)
-                    items.append(
-                        (rid, (inputs["input_ids"], inputs["pixel_values"]),
-                         max_new)
-                    )
+                    if self.model == "llava-next":
+                        from .chair_test import next_image_prep
+
+                        tiles, orig = next_image_prep(self.engine)(image)
+                        ids = self.processor(prompt)["input_ids"]
+                        args = (ids, tiles, orig)
+                    else:
+                        inputs = self.processor(prompt, image)
+                        args = (inputs["input_ids"], inputs["pixel_values"])
+                    items.append((rid, args, max_new))
                 plain = (
                     self.model == "llava-1.5"
                     and not self.chunked_prefill
@@ -258,8 +263,12 @@ def main(args):
     from .chair_test import PROMPTS, make_engine, str2bool
 
     engine, processor = make_engine(args)
-    if args.model != "llava-1.5":
-        raise SystemExit("serving currently supports llava-1.5")
+    if args.model not in ("llava-1.5", "llava-next"):
+        raise SystemExit(
+            "serving supports llava-1.5 and llava-next (InstructBLIP's "
+            "question-dependent visual tokens make per-request prompts "
+            "incompatible with the shared caption template)"
+        )
     service = CaptionService(
         engine, processor, args.model, n_slots=args.slots,
         step_chunk=args.step_chunk,

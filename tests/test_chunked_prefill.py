@@ -277,3 +277,53 @@ def test_llavanext_int8_prefix_cache_probe(tiny_llava_next_shared):
         np.asarray(rq.first_token)[decisive],
         np.asarray(rd.first_token)[decisive],
     )
+
+
+def test_caption_service_llava_next_chunked(tiny_llava_next_shared):
+    """The HTTP service layer serves LLaVA-NeXT with chunked prefill:
+    captions match the engine's own generate."""
+    import numpy as np
+    from PIL import Image
+
+    from dropoutdecoding_tpu.cli.serve import CaptionService
+    from dropoutdecoding_tpu.engine.llavanext_engine import LlavaNextEngine
+    from dropoutdecoding_tpu.models import llavanext as next_mod
+
+    cfg, params, pinpoints = tiny_llava_next_shared
+
+    class _Proc:
+        def __call__(self, prompt, image=None):
+            return {"input_ids": np.array([[1, 5, 32, 11]], np.int32)}
+
+        def decode(self, token_ids, skip_special_tokens=True):
+            return " ".join(f"t{int(t)}" for t in token_ids)
+
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        ens=EnsembleConfig(topk=10),
+        gen=GenerationConfig(max_new_tokens=4, eos_token_id=-1, pad_token_id=0),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=True,
+        seed=506,
+    )
+    eng.param_dtype = jnp.float32
+    # expected: engine generate on the same prepped image
+    from dropoutdecoding_tpu.cli.chair_test import next_image_prep
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    rng = np.random.default_rng(4)
+    img = Image.fromarray(
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8), "RGB"
+    )
+    tiles, orig = next_image_prep(eng)(img)
+    expected = " ".join(
+        f"t{int(t)}" for t in eng.generate(
+            np.array([[1, 5, 32, 11]]), tiles, orig
+        ).tokens[0]
+    )
+
+    svc = CaptionService(eng, _Proc(), "llava-next", n_slots=2,
+                         chunked_prefill=8)
+    got = svc.caption(img, "Describe.", timeout=300)
+    assert got == expected
