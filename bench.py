@@ -336,15 +336,21 @@ def run_once(n_layers):
     tok = state.first_token
     ck, cv, tok = step(params, ck, cv, cur, tok)  # compile + cold run
     _fetch(tok)
-    t0 = time.perf_counter()
-    n_steps = 4
-    for i in range(n_steps):
-        ck, cv, tok = step(params, ck, cv, cur + 1 + i, tok)
-        _fetch(tok)
     # the reference-style loop pays one dispatch per step; subtract the
-    # tunnel's fixed cost from each so the ratio reflects device time
-    ref_elapsed = time.perf_counter() - t0
-    ref_tps = n_steps / max(ref_elapsed - n_steps * ov, ref_elapsed / 2)
+    # tunnel's fixed cost from each so the ratio reflects device time.
+    # Per-step timing over the tunnel is noisy (one RTT per sample), so
+    # take the best of several 4-step windows rather than one shot.
+    n_steps = 4
+    best_ref = float("inf")
+    pos = 0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            ck, cv, tok = step(params, ck, cv, cur + 1 + pos, tok)
+            _fetch(tok)
+            pos += 1
+        best_ref = min(best_ref, time.perf_counter() - t0)
+    ref_tps = n_steps / max(best_ref - n_steps * ov, best_ref / 2)
     del ck, cv
     print(f"reference-style: {ref_tps:.2f} t/s", file=sys.stderr, flush=True)
 

@@ -123,6 +123,7 @@ def make_engine(args):
         w8a8_prefill=getattr(args, "quantize", None) == "w8a8",
         w8a8_decode=str2bool(getattr(args, "w8a8_decode", False)),
         int8_kv=str2bool(getattr(args, "int8_kv", False)),
+        int8_prefix_cache=str2bool(getattr(args, "int8_prefix_cache", False)),
     )
     if common["w8a8_decode"] and getattr(args, "quantize", None) not in (
         "int8", "w8a8",

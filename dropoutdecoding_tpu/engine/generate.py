@@ -177,6 +177,11 @@ class LlavaEngine:
     #   s32, ~1.6x the bf16 MXU rate): quantize activation rows on the fly
     #   against the already-int8 weights.  Prefill-only — decode is
     #   HBM-bound.  Opt-in; drift measured in cli/fused_gap.py --study w8a8
+    int8_prefix_cache: bool = False  # store probe_prefix handles int8-
+    #   quantized: HALVES resident bytes per cached image (the lever when
+    #   many prefixes stay resident) at measured 12-24% slower extends
+    #   (bench: LLaVA prefix-POPE 84.8 -> 111.9 ms/image) — a memory/
+    #   speed trade the caller picks explicitly
     w8a8_decode: bool = False  # int8-MXU DECODE projections.  Worthless at
     #   B=1 (decode is HBM-bound) but the large-batch configs run
     #   B*(K+1)-row projections that are MXU-compute-bound (batch-16 x K=8
@@ -839,14 +844,15 @@ class LlavaEngine:
 
     def probe_prefix(self, prefix_ids, pixel_values):
         """Prefix KV for probe_extend: run the shared [text-prefix +
-        image] span once per image (prefix caching).  int8_kv engines
-        store the cached prefix quantized (halves resident bytes per
-        cached image; probe_extend reads it via
-        ops.attention.extend_attention_int8prefix)."""
+        image] span once per image (prefix caching).  With
+        ``int8_prefix_cache`` the handle is stored quantized — half the
+        resident bytes per cached image, read via
+        ops.attention.extend_attention_int8prefix at a measured 12-24%
+        extend cost (see the engine field)."""
         kv = self._probe_prefix(
             self.params, jnp.asarray(prefix_ids), jnp.asarray(pixel_values)
         )
-        if self.int8_kv:
+        if self.int8_prefix_cache:
             from ..utils.quantize import quantize_kv
 
             def q(x):

@@ -235,9 +235,10 @@ class LlavaNextEngine(LlavaEngine):
 
     def probe_prefix(self, prefix_ids, tile_pixels, original_size):
         """Prefix cache handle (kv, real_len, key_mask) for probe_extend;
-        one image per call (B=1).  int8_kv engines store the cached
-        prefix quantized (halves resident bytes per cached image — a
-        ~2.9k-token NeXT prefix is ~0.4 GB dense bf16 at full depth)."""
+        one image per call (B=1).  ``int8_prefix_cache`` stores the
+        handle quantized (halves resident bytes per cached image — a
+        ~2.9k-token NeXT prefix is ~0.4 GB dense bf16 at full depth —
+        at a measured 12-24% extend cost; see LlavaEngine field)."""
         prefix_ids = np.asarray(prefix_ids)
         tiles, gathers, valids = self._prep_images(
             tile_pixels, original_size, prefix_ids.shape[0]
@@ -250,7 +251,7 @@ class LlavaNextEngine(LlavaEngine):
             valids,
             self._image_positions(prefix_ids),
         )
-        if self.int8_kv:
+        if self.int8_prefix_cache:
             from ..utils.quantize import quantize_kv
 
             def q(x):

@@ -255,6 +255,7 @@ def test_llavanext_int8_prefix_cache_probe(tiny_llava_next_shared):
             max_len=next_mod.max_image_tokens(cfg) + 32,
             ensemble=True,
             int8_kv=int8,
+            int8_prefix_cache=int8,
         )
         e.param_dtype = jnp.float32
         return e

@@ -254,6 +254,7 @@ def test_engine_int8_prefix_cache_probe(tiny_llava, rng):
             max_len=64,
             ensemble=True,
             int8_kv=int8,
+            int8_prefix_cache=int8,
         )
         e.param_dtype = jnp.float32
         return e

@@ -405,6 +405,7 @@ def test_int8_prefix_extend_compiled(small_engine):
 
     e8 = _replace(eng)
     e8.int8_kv = True
+    e8.int8_prefix_cache = True
     e8.__post_init__()
 
     kv_d = eng.probe_prefix(ids, px)
