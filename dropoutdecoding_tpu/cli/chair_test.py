@@ -289,7 +289,26 @@ def run_engine(engine, processor, model, prompt, image):
     elif model == "instructblip":
         inputs = processor(prompt, image)
         q_ids = qformer_ids_for(processor, prompt, inputs)
-        if use_beam:
+        if use_cd:
+            import jax
+            import numpy as _np
+
+            from ..decoding.vcd import diffusion_noise
+            from ..engine.baselines import vcd_generate
+
+            # noise the ViT input; the Q-Former then reads the noised
+            # image's features (VCD's contrastive stream for InstructBLIP)
+            noised = diffusion_noise(
+                jax.random.key(0),
+                jax.numpy.asarray(inputs["pixel_values"]),
+                engine.gen.cd_noise_step,
+            )
+            states = (
+                engine.prefill(inputs["input_ids"], inputs["pixel_values"], q_ids),
+                engine.prefill(inputs["input_ids"], _np.asarray(noised), q_ids),
+            )
+            result = vcd_generate(engine, states=states)
+        elif use_beam:
             from ..engine.baselines import beam_generate
 
             result = beam_generate(
@@ -440,13 +459,6 @@ def main(args):
     batch = max(getattr(args, "batch_size", 1) or 1, 1)
     _use_cd = engine.gen.use_cd
     _use_beam = not engine.ensemble and engine.gen.num_beams > 1 and not _use_cd
-    if batch > 1 and (_use_cd or _use_beam):
-        # no silent flag semantics (SURVEY §5): these paths run batch-1
-        raise SystemExit(
-            "--batch-size > 1 is not supported with --vcd or --num-beams > 1"
-            " (those baselines run one caption per dispatch); drop"
-            " --batch-size or run the ensemble/--original methods batched"
-        )
     if batch > 1:
         # batched data-parallel path: ensemble decoding AND plain greedy
         # (--original runs the same program with ensemble=False), all three
@@ -496,7 +508,70 @@ def main(args):
                     size_list.append(size_list[-1])
                 if qid_list:
                     qid_list.append(qid_list[-1])
-            if model == "llava-next":
+            if _use_cd:
+                # batched VCD: rows noise + sample with the serial key
+                # streams (vcd_generate per-row draws), so this path is
+                # token-identical to per-image --vcd runs
+                import jax as _jax
+
+                from ..decoding.vcd import diffusion_noise as _noise
+                from ..engine.baselines import vcd_generate as _vcd
+
+                _k0 = _jax.random.key(0)
+                _nstep = engine.gen.cd_noise_step
+                if model == "llava-next":
+                    noised_list = [
+                        _np.asarray(_noise(_k0, _jax.numpy.asarray(t), _nstep))
+                        for t in px_list
+                    ]
+                    states = (
+                        engine.prefill(_np.stack(ids_list), px_list, size_list),
+                        engine.prefill(
+                            _np.stack(ids_list), noised_list, size_list
+                        ),
+                    )
+                    result = _vcd(engine, states=states)
+                elif model == "instructblip":
+                    px = _np.stack(px_list)
+                    noised = _np.asarray(
+                        _jax.vmap(lambda p: _noise(_k0, p, _nstep))(
+                            _jax.numpy.asarray(px)
+                        )
+                    )
+                    ids = _np.stack(ids_list)
+                    qids = _np.stack(qid_list)
+                    states = (
+                        engine.prefill(ids, px, qids),
+                        engine.prefill(ids, noised, qids),
+                    )
+                    result = _vcd(engine, states=states)
+                else:
+                    result = _vcd(
+                        engine, _np.stack(ids_list), _np.stack(px_list)
+                    )
+            elif _use_beam:
+                # batched beam: B independent searches in one program
+                # (beam_generate freezes finished images; row i ==
+                # its own serial search)
+                from ..engine.baselines import beam_generate as _beam
+
+                if model == "llava-next":
+                    st = engine.prefill(_np.stack(ids_list), px_list, size_list)
+                elif model == "instructblip":
+                    st = engine.prefill(
+                        _np.stack(ids_list), _np.stack(px_list),
+                        _np.stack(qid_list),
+                    )
+                else:
+                    st = engine.prefill(_np.stack(ids_list), _np.stack(px_list))
+                result = _beam(
+                    engine,
+                    state=st,
+                    num_beams=engine.gen.num_beams,
+                    length_penalty=engine.gen.length_penalty,
+                    early_stopping=engine.gen.early_stopping,
+                )
+            elif model == "llava-next":
                 result = engine.generate(
                     _np.stack(ids_list), px_list, size_list
                 )

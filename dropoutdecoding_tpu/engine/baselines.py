@@ -40,6 +40,11 @@ def vcd_generate(
 
     Pass ``states=(clean_state, noised_state)`` for engines with
     non-(ids, pixels) prefill signatures (InstructBLIP / LLaVA-NeXT).
+
+    Batching: every row draws noise and samples with the SAME key stream a
+    B=1 call would use (per-row vmap with a shared key), so a batched run
+    is token-identical to running each image serially — the batched
+    `--batch-size` CHAIR path relies on this.
     """
     gen = engine.gen
     key = jax.random.key(seed)
@@ -49,7 +54,11 @@ def vcd_generate(
         state, state_cd = states
     else:
         pixels = jnp.asarray(pixel_values)
-        noised = diffusion_noise(k_noise, pixels, gen.cd_noise_step)
+        # per-row noise with the shared key == the serial B=1 draw for
+        # each image (jax PRNG bits depend on flat element count only)
+        noised = jax.vmap(
+            lambda p: diffusion_noise(k_noise, p, gen.cd_noise_step)
+        )(pixels)
         state = engine.prefill(input_ids, pixels)
         state_cd = engine.prefill(input_ids, np.asarray(noised))
 
@@ -69,12 +78,17 @@ def vcd_generate(
     def _warp(l):
         return warp_logits(l, gen.temperature, gen.top_k, gen.top_p)
 
+    # per-row draw with a SHARED key: row i samples exactly as a B=1 call
+    # would (batched == serial token identity)
+    def _draw(skey, logits):  # [B, V] -> [B]
+        return jax.vmap(lambda l: jax.random.categorical(skey, l))(
+            logits
+        ).astype(jnp.int32)
+
     first_logits = contrastive_logits(
         state.last_logits, state_cd.last_logits, gen.cd_alpha, gen.cd_beta
     )
-    first_token = jax.random.categorical(
-        jax.random.fold_in(k_sample, 0), _warp(first_logits), axis=-1
-    ).astype(jnp.int32)
+    first_token = _draw(jax.random.fold_in(k_sample, 0), _warp(first_logits))
 
     @jax.jit
     def loop(params, cache, cur_len, first_token):
@@ -98,9 +112,7 @@ def vcd_generate(
                 logits2[:B], logits2[B:], gen.cd_alpha, gen.cd_beta
             )
             skey = jax.random.fold_in(jax.random.fold_in(k_sample, 1), step)
-            nxt = jax.random.categorical(skey, _warp(cd), axis=-1).astype(
-                jnp.int32
-            )
+            nxt = _draw(skey, _warp(cd))
             cache = KVCache(
                 cache.k.at[:, jnp.arange(2 * B), cur2].set(k_new[:, :, 0]),
                 cache.v.at[:, jnp.arange(2 * B), cur2].set(v_new[:, :, 0]),
@@ -139,8 +151,17 @@ def beam_generate(
     length_penalty: float = 1.0,
     early_stopping=False,
 ):
-    """Beam-search decode (B=1 prompt).  Pass ``state`` directly for
-    engines with non-(ids, pixels) prefill signatures.
+    """Beam-search decode.  Pass ``state`` directly for engines with
+    non-(ids, pixels) prefill signatures.
+
+    Batched: a [B]-prompt state runs B independent beam searches in ONE
+    program — beams flatten to a [B*nb] batch axis for the decode step
+    (image i owns rows i*nb..i*nb+nb-1), candidate selection and
+    hypothesis bookkeeping vmap per image, and finished images freeze
+    (their carry is held by `where`, exactly the state their own serial
+    loop exited with; per-image stop steps are recorded so finalize
+    normalizes at each image's own exit length).  Row i of the result is
+    token-identical to a B=1 call on that prompt.
 
     Implements HF BeamSearchScorer semantics: per step the top 2*nb
     candidates are scanned in score order — EOS candidates with rank < nb
@@ -163,132 +184,167 @@ def beam_generate(
     gen = engine.gen
     if state is None:
         state = engine.prefill(input_ids, pixel_values)
-    assert state.first_token.shape[0] == 1, "beam search is per-prompt"
     nb = num_beams
+    B = state.first_token.shape[0]
     T = gen.max_new_tokens
     cfg = engine.cfg
     eos = gen.eos_token_id
     NEG = -1e9
 
+    # image i owns flat cache rows [i*nb, (i+1)*nb)
     cache0 = KVCache(
         jnp.repeat(state.cache.k, nb, axis=1), jnp.repeat(state.cache.v, nb, axis=1)
     )
     # first expansion from the prompt logits: HF takes top nb over vocab
     # of [0 + logp, -inf + ...duplicated beams], i.e. simply top-nb tokens.
-    logp0 = jax.nn.log_softmax(state.last_logits[0])
-    top0, tok0 = jax.lax.top_k(logp0, nb)
+    logp0 = jax.nn.log_softmax(state.last_logits, axis=-1)  # [B, V]
+    top0, tok0 = jax.lax.top_k(logp0, nb)  # [B, nb]
+
+    def _select(cand_beam, cand_tok, cand_scores, buf_i, hyp_toks0, hyp_sc0,
+                hcount0, seq_len):
+        """One image's candidate scan (HF BeamSearchScorer.process):
+        EOS candidates with rank < nb become stored hypotheses, others
+        refill the nb active beams.  vmapped over the image axis."""
+
+        def scan_cand(c, r):
+            (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel) = c
+            b = cand_beam[r]
+            t_ = cand_tok[r]
+            s = cand_scores[r]
+            is_eos = t_ == eos
+            # store hypothesis (eos, rank<nb, slots or better than worst)
+            norm = s / seq_len**length_penalty
+            worst = jnp.argmin(hyp_sc)
+            can_store = is_eos & (r < nb)
+            do_store = can_store & ((hcount < nb) | (norm > hyp_sc[worst]))
+            hyp_toks = jnp.where(
+                do_store, hyp_toks.at[worst].set(buf_i[b]), hyp_toks
+            )
+            hyp_sc = jnp.where(do_store, hyp_sc.at[worst].set(norm), hyp_sc)
+            hcount = jnp.where(can_store, jnp.minimum(hcount + 1, nb), hcount)
+            # fill active slot with non-eos candidate
+            take = (~is_eos) & (nsel < nb)
+            slot = jnp.clip(nsel, 0, nb - 1)
+            sel_beam = jnp.where(take, sel_beam.at[slot].set(b), sel_beam)
+            sel_tok = jnp.where(take, sel_tok.at[slot].set(t_), sel_tok)
+            sel_score = jnp.where(take, sel_score.at[slot].set(s), sel_score)
+            nsel = jnp.where(take, nsel + 1, nsel)
+            return (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel), None
+
+        init = (
+            hyp_toks0,
+            hyp_sc0,
+            hcount0,
+            jnp.zeros((nb,), jnp.int32),
+            jnp.full((nb,), gen.pad_token_id, jnp.int32),
+            jnp.full((nb,), NEG),
+            jnp.zeros((), jnp.int32),
+        )
+        (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, _), _ = (
+            jax.lax.scan(scan_cand, init, jnp.arange(2 * nb))
+        )
+        return hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score
 
     @jax.jit
     def loop(params, cache, cur_len0):
         Smax = cache.k.shape[2]
-        prompt_len = cur_len0
-        buf = jnp.full((nb, T), gen.pad_token_id, jnp.int32)
-        buf = buf.at[:, 0].set(tok0)
-        scores = top0  # running sum-logprob per active beam
-        # stored hypotheses
-        hyp_tokens = jnp.full((nb, T), gen.pad_token_id, jnp.int32)
-        hyp_scores = jnp.full((nb,), -jnp.inf)
-        hyp_count = jnp.zeros((), jnp.int32)
+        prompt_len = cur_len0  # [B]
+        buf = jnp.full((B, nb, T), gen.pad_token_id, jnp.int32)
+        buf = buf.at[:, :, 0].set(tok0)
+        scores = top0  # [B, nb] running sum-logprob per active beam
+        hyp_tokens = jnp.full((B, nb, T), gen.pad_token_id, jnp.int32)
+        hyp_scores = jnp.full((B, nb), -jnp.inf)
+        hyp_count = jnp.zeros((B,), jnp.int32)
+        rows = jnp.arange(B)[:, None]
 
         def body(carry):
-            cache, cur, tok, step, buf, scores, hyp_tokens, hyp_scores, hyp_count = carry
-            x = llama_mod.embed(params.lm, tok)[:, None]
+            (cache, cur, tok, step, buf, scores, hyp_tokens, hyp_scores,
+             hyp_count, done, fin_step) = carry
+            x = llama_mod.embed(params.lm, tok.reshape(B * nb))[:, None]
             mask = jnp.broadcast_to(
-                jnp.arange(Smax)[None, None, :] < cur[:, None, None], (nb, 1, Smax)
+                jnp.arange(Smax)[None, None, :] < cur[:, None, None],
+                (B * nb, 1, Smax),
             )
             h, k_new, v_new = llama_mod.decode_step(
                 params.lm, cfg.text, x, cur, cache, mask
             )
+            # frozen rows keep cur, so this writes junk at their (never
+            # attended, mask is `< cur`) next slot — overwritten, unread
             cache = KVCache(
-                cache.k.at[:, jnp.arange(nb), cur].set(k_new[:, :, 0]),
-                cache.v.at[:, jnp.arange(nb), cur].set(v_new[:, :, 0]),
+                cache.k.at[:, jnp.arange(B * nb), cur].set(k_new[:, :, 0]),
+                cache.v.at[:, jnp.arange(B * nb), cur].set(v_new[:, :, 0]),
             )
-            logits = llama_mod.lm_head(params.lm, h)[:, 0]  # [nb, V]
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            logits = llama_mod.lm_head(params.lm, h)[:, 0]  # [B*nb, V]
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, nb, -1)
             V = logp.shape[-1]
-            total = scores[:, None] + logp
-            cand_scores, cand_idx = jax.lax.top_k(total.reshape(-1), 2 * nb)
+            total = (scores[:, :, None] + logp).reshape(B, nb * V)
+            cand_scores, cand_idx = jax.lax.top_k(total, 2 * nb)  # [B, 2nb]
             cand_beam = cand_idx // V
             cand_tok = (cand_idx % V).astype(jnp.int32)
 
             # sequence length if this candidate finished now (prompt+gen),
             # matching HF's normalization by input_ids length
-            seq_len = (prompt_len + step + 1).astype(jnp.float32)
+            seq_len = (prompt_len + step + 1).astype(jnp.float32)  # [B]
 
-            def scan_cand(c, r):
-                (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel) = c
-                b = cand_beam[r]
-                t_ = cand_tok[r]
-                s = cand_scores[r]
-                is_eos = t_ == eos
-                # store hypothesis (eos, rank<nb, slots or better than worst)
-                norm = s / seq_len**length_penalty
-                worst = jnp.argmin(hyp_sc)
-                can_store = is_eos & (r < nb)
-                do_store = can_store & ((hcount < nb) | (norm > hyp_sc[worst]))
-                hyp_toks = jnp.where(
-                    do_store, hyp_toks.at[worst].set(buf[b]), hyp_toks
+            (n_hyp_tokens, n_hyp_scores, n_hyp_count, sel_beam, sel_tok,
+             sel_score) = jax.vmap(_select)(
+                cand_beam, cand_tok, cand_scores, buf, hyp_tokens,
+                hyp_scores, hyp_count, seq_len,
+            )
+
+            # freeze finished images: identity reorder, held carry
+            sel_beam = jnp.where(done[:, None], jnp.arange(nb)[None, :], sel_beam)
+            sel_tok = jnp.where(done[:, None], tok, sel_tok)
+            sel_score = jnp.where(done[:, None], scores, sel_score)
+            n_hyp_tokens = jnp.where(done[:, None, None], hyp_tokens, n_hyp_tokens)
+            n_hyp_scores = jnp.where(done[:, None], hyp_scores, n_hyp_scores)
+            n_hyp_count = jnp.where(done, hyp_count, n_hyp_count)
+
+            flat_sel = (rows * nb + sel_beam).reshape(-1)
+            cache = KVCache(cache.k[:, flat_sel], cache.v[:, flat_sel])
+            buf = buf[rows, sel_beam].at[:, :, step].set(
+                jnp.where(done[:, None], buf[rows, sel_beam][:, :, step], sel_tok)
+            )
+            cur2 = cur.reshape(B, nb)[rows, sel_beam] + jnp.where(
+                done[:, None], 0, 1
+            )
+
+            # per-image stop test == the serial loop's cond at step+1
+            # (HF is_done; early_stopping=False normalizes the best running
+            # beam at the CURRENT length, "never" at max length when
+            # length_penalty > 0)
+            if early_stopping is True:
+                search_done = n_hyp_count >= nb
+            else:
+                if early_stopping == "never" and length_penalty > 0.0:
+                    sl = (prompt_len + T).astype(jnp.float32)
+                else:
+                    sl = (prompt_len + step + 1).astype(jnp.float32)
+                best_running = jnp.max(sel_score, axis=1) / sl**length_penalty
+                search_done = (n_hyp_count >= nb) & (
+                    jnp.min(n_hyp_scores, axis=1) >= best_running
                 )
-                hyp_sc = jnp.where(do_store, hyp_sc.at[worst].set(norm), hyp_sc)
-                hcount = jnp.where(can_store, jnp.minimum(hcount + 1, nb), hcount)
-                # fill active slot with non-eos candidate
-                take = (~is_eos) & (nsel < nb)
-                slot = jnp.clip(nsel, 0, nb - 1)
-                sel_beam = jnp.where(take, sel_beam.at[slot].set(b), sel_beam)
-                sel_tok = jnp.where(take, sel_tok.at[slot].set(t_), sel_tok)
-                sel_score = jnp.where(take, sel_score.at[slot].set(s), sel_score)
-                nsel = jnp.where(take, nsel + 1, nsel)
-                return (hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score, nsel), None
-
-            init = (
-                hyp_tokens,
-                hyp_scores,
-                hyp_count,
-                jnp.zeros((nb,), jnp.int32),
-                jnp.full((nb,), gen.pad_token_id, jnp.int32),
-                jnp.full((nb,), NEG),
-                jnp.zeros((), jnp.int32),
-            )
-            (hyp_tokens, hyp_scores, hyp_count, sel_beam, sel_tok, sel_score, _), _ = (
-                jax.lax.scan(scan_cand, init, jnp.arange(2 * nb))
-            )
-
-            cache = KVCache(cache.k[:, sel_beam], cache.v[:, sel_beam])
-            buf = buf[sel_beam].at[:, step].set(sel_tok)
+            new_done = done | search_done
+            fin_step = jnp.where(done | ~new_done, fin_step, step + 1)
             return (
                 cache,
-                cur[sel_beam] + 1,
+                cur2.reshape(-1),
                 sel_tok,
                 step + 1,
                 buf,
                 sel_score,
-                hyp_tokens,
-                hyp_scores,
-                hyp_count,
+                n_hyp_tokens,
+                n_hyp_scores,
+                n_hyp_count,
+                new_done,
+                fin_step,
             )
 
         def cond(carry):
-            _, cur, _, step, _, scores, _, hyp_scores, hyp_count = carry
-            if early_stopping is True:
-                # HF is_done: stop as soon as nb hypotheses exist
-                search_done = hyp_count >= nb
-            else:
-                # worst stored beats the best running beam's optimistic
-                # score; the optimistic normalization length follows HF:
-                # early_stopping=False uses the CURRENT length (a "heuristic"
-                # per HF's own comment), "never" uses max length when
-                # length_penalty > 0 (longer can only score better).
-                if early_stopping == "never" and length_penalty > 0.0:
-                    seq_len = jnp.float32(prompt_len + T)
-                else:
-                    seq_len = (prompt_len + step).astype(jnp.float32)
-                best_running = jnp.max(scores) / seq_len**length_penalty
-                search_done = (hyp_count >= nb) & (
-                    jnp.min(hyp_scores) >= best_running
-                )
-            return (step < T) & ~search_done
+            step, done = carry[3], carry[9]
+            return (step < T) & ~jnp.all(done)
 
-        cur = jnp.full((nb,), cur_len0, jnp.int32)
+        cur = jnp.repeat(cur_len0.astype(jnp.int32), nb)
         carry = (
             cache,
             cur,
@@ -299,29 +355,37 @@ def beam_generate(
             hyp_tokens,
             hyp_scores,
             hyp_count,
+            jnp.zeros((B,), bool),
+            jnp.full((B,), T, jnp.int32),
         )
         carry = jax.lax.while_loop(cond, body, carry)
-        _, _, _, step, buf, scores, hyp_tokens, hyp_scores, hyp_count = carry
-        # finalize: if under-filled, add running beams (HF finalize)
-        seq_len = (prompt_len + step).astype(jnp.float32)
+        (_, _, _, step, buf, scores, hyp_tokens, hyp_scores, hyp_count,
+         _, fin_step) = carry
+        # finalize: if under-filled, add running beams (HF finalize) —
+        # normalized at each image's own exit length
+        seq_len = (prompt_len + fin_step).astype(jnp.float32)  # [B]
 
-        def add_running(i, st):
-            hyp_toks, hyp_sc, hcount = st
-            norm = scores[i] / seq_len**length_penalty
-            worst = jnp.argmin(hyp_sc)
-            do = (hcount < nb) & (norm > hyp_sc[worst])
-            hyp_toks = jnp.where(do, hyp_toks.at[worst].set(buf[i]), hyp_toks)
-            hyp_sc = jnp.where(do, hyp_sc.at[worst].set(norm), hyp_sc)
-            hcount = jnp.where(do, hcount + 1, hcount)
-            return hyp_toks, hyp_sc, hcount
+        def finalize(buf_i, scores_i, hyp_toks0, hyp_sc0, hcount0, sl):
+            def add_running(i, st):
+                hyp_toks, hyp_sc, hcount = st
+                norm = scores_i[i] / sl**length_penalty
+                worst = jnp.argmin(hyp_sc)
+                do = (hcount < nb) & (norm > hyp_sc[worst])
+                hyp_toks = jnp.where(do, hyp_toks.at[worst].set(buf_i[i]), hyp_toks)
+                hyp_sc = jnp.where(do, hyp_sc.at[worst].set(norm), hyp_sc)
+                hcount = jnp.where(do, hcount + 1, hcount)
+                return hyp_toks, hyp_sc, hcount
 
-        hyp_tokens, hyp_scores, hyp_count = jax.lax.fori_loop(
-            0, nb, add_running, (hyp_tokens, hyp_scores, hyp_count)
+            hyp_toks, hyp_sc, _ = jax.lax.fori_loop(
+                0, nb, add_running, (hyp_toks0, hyp_sc0, hcount0)
+            )
+            return hyp_toks[jnp.argmax(hyp_sc)]
+
+        return jax.vmap(finalize)(
+            buf, scores, hyp_tokens, hyp_scores, hyp_count, seq_len
         )
-        best = jnp.argmax(hyp_scores)
-        return hyp_tokens[best]
 
-    tokens = np.asarray(loop(engine.params, cache0, state.cur_len[0]))[None]
+    tokens = np.asarray(loop(engine.params, cache0, state.cur_len))
     num = np.array(
         [
             (np.where(r == gen.pad_token_id)[0][0])

@@ -113,3 +113,59 @@ def test_vcd_deterministic_per_seed(tiny_llava):
     c = vcd_generate(eng, input_ids, pixels, seed=8)
     np.testing.assert_array_equal(a.tokens, b.tokens)
     assert a.tokens.shape == c.tokens.shape
+
+
+def test_vcd_batched_matches_serial(tiny_llava):
+    """A batched vcd_generate call equals running each row serially:
+    every row draws noise + samples with the key stream a B=1 call uses
+    (per-row vmap with a shared key), which is what lets the CHAIR CLI
+    run --vcd --batch-size N without changing outputs."""
+    import numpy as _np
+
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    rng = _np.random.default_rng(3)
+    px2 = _np.asarray(pixels) * 0.5 + 0.1 * rng.random(_np.asarray(pixels).shape).astype(_np.float32)
+    ids_b = _np.concatenate([_np.asarray(input_ids)] * 2, axis=0)
+    px_b = _np.concatenate([_np.asarray(pixels), px2], axis=0)
+
+    batched = vcd_generate(eng, ids_b, px_b, seed=7)
+    s0 = vcd_generate(eng, input_ids, pixels, seed=7)
+    s1 = vcd_generate(eng, input_ids, px2, seed=7)
+    np.testing.assert_array_equal(batched.tokens[0], s0.tokens[0])
+    np.testing.assert_array_equal(batched.tokens[1], s1.tokens[0])
+
+
+def test_beam_batched_matches_serial(tiny_llava):
+    """A [B]-prompt beam_generate equals per-image serial searches
+    (flattened B*nb batch + per-image selection/freezing) — the CHAIR
+    CLI's --num-beams --batch-size path."""
+    import numpy as _np
+
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    eng = _engine(cfg, params)
+    rng = _np.random.default_rng(11)
+    px = _np.asarray(pixels)
+    px2 = px * 0.6 + 0.2 * rng.random(px.shape).astype(_np.float32)
+    ids_b = _np.concatenate([_np.asarray(input_ids)] * 2, axis=0)
+    px_b = _np.concatenate([px, px2], axis=0)
+
+    for lp, es in [(1.0, False), (2.0, True), (0.5, "never")]:
+        batched = beam_generate(
+            eng,
+            state=eng.prefill(ids_b, px_b),
+            num_beams=3,
+            length_penalty=lp,
+            early_stopping=es,
+        )
+        s0 = beam_generate(
+            eng, input_ids, px, num_beams=3, length_penalty=lp,
+            early_stopping=es,
+        )
+        s1 = beam_generate(
+            eng, input_ids, px2, num_beams=3, length_penalty=lp,
+            early_stopping=es,
+        )
+        np.testing.assert_array_equal(batched.tokens[0], s0.tokens[0])
+        np.testing.assert_array_equal(batched.tokens[1], s1.tokens[0])
+        np.testing.assert_array_equal(batched.num_tokens, [s0.num_tokens[0], s1.num_tokens[0]])

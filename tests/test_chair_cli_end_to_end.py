@@ -214,15 +214,15 @@ def test_chair_cli_batched_original_matches_serial(
     assert len(serial) == 4
 
 
-def test_chair_cli_batch_size_rejected_for_vcd_and_beam(
+def test_chair_cli_batched_vcd_matches_serial(
     synthetic_coco, tmp_path, monkeypatch, tiny_llava
 ):
-    """--vcd / --num-beams>1 with --batch-size>1 must error loudly, not
-    silently fall back to the serial loop (SURVEY §5: no silent flags)."""
+    """--vcd --batch-size N captions == serial --vcd (vcd_generate's
+    per-row key streams make every batched row sample exactly like its
+    own B=1 call)."""
     from dropoutdecoding_tpu.cli import chair_test as cli
 
     _, cfg, params, _, _, _ = tiny_llava
-    monkeypatch.chdir(tmp_path)
 
     monkeypatch.setattr(
         cli,
@@ -232,10 +232,29 @@ def test_chair_cli_batch_size_rejected_for_vcd_and_beam(
             _TinyProcessor(cfg),
         ),
     )
-    with pytest.raises(SystemExit, match="batch-size"):
-        _run_cli(
-            cli, synthetic_coco, tmp_path, ["--vcd", "True", "--batch-size", "4"]
-        )
+
+    d1 = tmp_path / "serial"
+    d2 = tmp_path / "batched"
+    d1.mkdir(); d2.mkdir()
+    monkeypatch.chdir(d1)
+    serial = _run_cli(cli, synthetic_coco, d1, ["--vcd", "True"])
+    monkeypatch.chdir(d2)
+    batched = _run_cli(
+        cli, synthetic_coco, d2, ["--vcd", "True", "--batch-size", "3"]
+    )
+    assert serial == batched
+    assert len(serial) == 4
+
+
+def test_chair_cli_batched_beam_matches_serial(
+    synthetic_coco, tmp_path, monkeypatch, tiny_llava
+):
+    """--num-beams N --batch-size M captions == serial beam (beam_generate
+    runs B independent searches in one program) — with this, every method
+    the CLI offers accepts --batch-size."""
+    from dropoutdecoding_tpu.cli import chair_test as cli
+
+    _, cfg, params, _, _, _ = tiny_llava
 
     monkeypatch.setattr(
         cli,
@@ -245,13 +264,23 @@ def test_chair_cli_batch_size_rejected_for_vcd_and_beam(
             _TinyProcessor(cfg),
         ),
     )
-    with pytest.raises(SystemExit, match="batch-size"):
-        _run_cli(
-            cli,
-            synthetic_coco,
-            tmp_path,
-            ["--original", "True", "--num-beams", "3", "--batch-size", "4"],
-        )
+
+    d1 = tmp_path / "serial"
+    d2 = tmp_path / "batched"
+    d1.mkdir(); d2.mkdir()
+    monkeypatch.chdir(d1)
+    serial = _run_cli(
+        cli, synthetic_coco, d1, ["--original", "True", "--num-beams", "3"]
+    )
+    monkeypatch.chdir(d2)
+    batched = _run_cli(
+        cli,
+        synthetic_coco,
+        d2,
+        ["--original", "True", "--num-beams", "3", "--batch-size", "3"],
+    )
+    assert serial == batched
+    assert len(serial) == 4
 
 
 def test_chair_cli_spec_gamma_matches_original(

@@ -337,3 +337,53 @@ def test_tp_sharded_generate_matches_single_device(tiny_instructblip):
     with mesh:
         tokens = mk(sp).generate(input_ids, pixels, q_ids).tokens
     np.testing.assert_array_equal(tokens, ref)
+
+
+def test_vcd_states_path_batched_matches_serial(tiny_instructblip):
+    """VCD over InstructBLIP (the CLI's --vcd arm: noise the ViT input,
+    prefill clean + noised, run the stacked-context sampler) — and the
+    batched call equals per-image serial calls (per-row key streams)."""
+    import jax
+
+    from dropoutdecoding_tpu.decoding.vcd import diffusion_noise
+    from dropoutdecoding_tpu.engine.baselines import vcd_generate
+
+    _, cfg, params, pixels = tiny_instructblip
+    eng = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(
+            max_new_tokens=5, eos_token_id=2, pad_token_id=2, use_cd=True
+        ),
+        max_len=48,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+
+    ids = np.array([[1, 9, 21]])
+    q_ids = np.array([[3, 7]])
+    px = np.asarray(pixels, np.float32)
+    px2 = px * 0.75 + 0.05
+    k0 = jax.random.key(0)
+    step = eng.gen.cd_noise_step
+
+    def serial(p):
+        noised = np.asarray(diffusion_noise(k0, jnp.asarray(p), step))
+        states = (eng.prefill(ids, p, q_ids), eng.prefill(ids, noised, q_ids))
+        return vcd_generate(eng, states=states)
+
+    s0, s1 = serial(px), serial(px2)
+
+    px_b = np.concatenate([px, px2], 0)
+    ids_b = np.concatenate([ids, ids], 0)
+    qids_b = np.concatenate([q_ids, q_ids], 0)
+    noised_b = np.asarray(
+        jax.vmap(lambda p: diffusion_noise(k0, p, step))(jnp.asarray(px_b))
+    )
+    states_b = (
+        eng.prefill(ids_b, px_b, qids_b),
+        eng.prefill(ids_b, noised_b, qids_b),
+    )
+    batched = vcd_generate(eng, states=states_b)
+    np.testing.assert_array_equal(batched.tokens[0], s0.tokens[0])
+    np.testing.assert_array_equal(batched.tokens[1], s1.tokens[0])
