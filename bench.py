@@ -47,12 +47,54 @@ import time
 
 import numpy as np
 
+T_START = time.perf_counter()
 DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
 PROMPT_LEN = 576 + 32  # visual span + text
 K = 3
 K8_PROBS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 HBM_BW = float(os.environ.get("BENCH_HBM_GBPS", "819")) * 1e9
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+
+# Wall-clock budget (round-4 verdict item 1b): the headline block always
+# runs; every section after it first checks the remaining budget against
+# its own worst-case COLD cost and prints "<name> skipped: budget"
+# instead of risking the driver's timeout.  With the persistent
+# compilation cache warm (below) the whole file fits comfortably.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _elapsed():
+    return time.perf_counter() - T_START
+
+
+def _need(name: str, s: float):
+    """Raise (caught by the section's except) when the remaining budget
+    cannot cover the section's worst-case cold cost."""
+    if _elapsed() + s > BUDGET_S:
+        raise RuntimeError(
+            f"budget ({_elapsed():.0f}s elapsed + ~{s:.0f}s > {BUDGET_S:.0f}s)"
+        )
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: over the axon tunnel the FIRST
+    trivial program costs 70-260 s (backend/program init) and every
+    whole-decode program ~30 s; with the disk cache both are ~1 s on any
+    later cold process.  Measured 2026-08-19: first-program 262 s -> 1.4 s.
+    Harmless if unsupported."""
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "BENCH_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 
 def _fetch(x):
@@ -65,7 +107,11 @@ from dropoutdecoding_tpu.utils.synthetic import synthetic_int8_lm  # noqa: E402
 
 
 def build_state(engine, cfg, key, B=1, prompt_len=None):
-    """Synthetic post-prefill state with realistic shapes/dtypes."""
+    """Synthetic post-prefill state with realistic shapes/dtypes.
+
+    One jitted program per (B, shape) config: the round-3 op-by-op
+    construction paid a compile + tunnel dispatch per leaf (~40 s at the
+    7B shape)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,50 +123,60 @@ def build_state(engine, cfg, key, B=1, prompt_len=None):
     N = cfg.vision.num_patches
     V = cfg.text.vocab_size
     Smax = engine.max_len
-    ks = jax.random.split(key, 6)
     shape = (
         cfg.text.num_hidden_layers, B, Smax,
         cfg.text.num_key_value_heads, cfg.text.head_dim,
     )
-    if engine.int8_kv:
-        # generate the synthetic cache directly in int8 layout: no bf16
-        # transient (at B=16 x 7B the bf16 K+V would be ~5 GB)
-        def leaf(k):
-            # int8 cache layout (models/llama.KVCache): q head-flattened
-            # [L,B,S,KH*D], scales head-major [L,B,KH,S]
-            return {
-                "q": jax.random.randint(
-                    k, shape[:3] + (shape[3] * shape[4],), -127, 128, jnp.int8
-                ),
-                "s": jnp.full(
-                    (shape[0], shape[1], shape[3], shape[2]),
-                    1.0 / 127,
-                    jnp.float32,
-                ),
-            }
+    int8_kv = engine.int8_kv
 
-        cache = llama_mod.KVCache(leaf(ks[0]), leaf(ks[1]))
-    else:
-        cache = llama_mod.KVCache(
-            jax.random.normal(ks[0], shape, jnp.bfloat16),
-            jax.random.normal(ks[1], shape, jnp.bfloat16),
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 6)
+        if int8_kv:
+            # generate the synthetic cache directly in int8 layout: no bf16
+            # transient (at B=16 x 7B the bf16 K+V would be ~5 GB)
+            def leaf(k):
+                # int8 cache layout (models/llama.KVCache): q head-flattened
+                # [L,B,S,KH*D], scales head-major [L,B,KH,S]
+                return {
+                    "q": jax.lax.bitcast_convert_type(
+                        jax.random.bits(
+                            k, shape[:3] + (shape[3] * shape[4],), jnp.uint8
+                        ),
+                        jnp.int8,
+                    ),
+                    "s": jnp.full(
+                        (shape[0], shape[1], shape[3], shape[2]),
+                        1.0 / 127,
+                        jnp.float32,
+                    ),
+                }
+
+            cache = llama_mod.KVCache(leaf(ks[0]), leaf(ks[1]))
+        else:
+            cache = llama_mod.KVCache(
+                jax.random.normal(ks[0], shape, jnp.bfloat16),
+                jax.random.normal(ks[1], shape, jnp.bfloat16),
+            )
+        return PrefillState(
+            cache=cache,
+            cur_len=jnp.full((B,), prompt_len, jnp.int32),
+            last_logits=jax.random.normal(ks[2], (B, V), jnp.float32),
+            first_token=jnp.full((B,), 7, jnp.int32),
+            epis=jax.random.gamma(ks[3], 2.0, (B, N)).astype(jnp.float32),
+            topk_ids=jax.random.randint(ks[4], (B, N, 5), 0, V),
+            # [B, N, 1] stub mirrors engine.kl_logits_or_stub for
+            # non-epis_kl policies (the full [B, N, V] fp32 buffer is
+            # 1.2 GB at B=16)
+            image_logits=jnp.zeros((B, N, 1), jnp.float32),
+            image_pos=jnp.full((B,), 5, jnp.int32),
+            visual_mask=jnp.ones((B, N), bool),
+            probe_ids=jnp.full((B, 8), -1, jnp.int32),
+            rng_id=jnp.arange(B, dtype=jnp.int32),
+            uncertainty={},
         )
-    return PrefillState(
-        cache=cache,
-        cur_len=jnp.full((B,), prompt_len, jnp.int32),
-        last_logits=jax.random.normal(ks[2], (B, V), jnp.float32),
-        first_token=jnp.full((B,), 7, jnp.int32),
-        epis=jax.random.gamma(ks[3], 2.0, (B, N)).astype(jnp.float32),
-        topk_ids=jax.random.randint(ks[4], (B, N, 5), 0, V),
-        # [B, N, 1] stub mirrors engine.kl_logits_or_stub for non-epis_kl
-        # policies (the full [B, N, V] fp32 buffer is 1.2 GB at B=16)
-        image_logits=jnp.zeros((B, N, 1), jnp.float32),
-        image_pos=jnp.full((B,), 5, jnp.int32),
-        visual_mask=jnp.ones((B, N), bool),
-        probe_ids=jnp.full((B, 8), -1, jnp.int32),
-        rng_id=jnp.arange(B, dtype=jnp.int32),
-        uncertainty={},
-    )
+
+    return gen(key)
 
 
 def measure_dispatch_overhead():
@@ -278,16 +334,18 @@ def run_once(n_layers):
     lm = synthetic_int8_lm(cfg.text, key)
     from dropoutdecoding_tpu.models import llava as llava_mod
 
-    # vision + projector stay bf16 (one prefill pass; tiny next to the LM)
-    proto = llava_mod.init_params(
-        LlavaConfig(
-            text=cfg.text.__class__(num_hidden_layers=1), vision=cfg.vision
-        ),
-        jax.random.key(1),
-        jnp.bfloat16,
+    # vision + projector stay bf16 (one prefill pass; tiny next to the
+    # LM).  jit the whole init into ONE program: op-by-op it pays a
+    # compile + tunnel dispatch per leaf (~88 s in round 3).
+    proto_cfg = LlavaConfig(
+        text=cfg.text.__class__(num_hidden_layers=1), vision=cfg.vision
     )
+    proto = jax.jit(
+        lambda k: llava_mod.init_params(proto_cfg, k, jnp.bfloat16)
+    )(jax.random.key(1))
     params = LlavaParams(vision=proto.vision, projector=proto.projector, lm=lm)
     _fetch(params.lm["norm"])
+    print(f"setup done at {_elapsed():.0f}s", file=sys.stderr, flush=True)
 
     def mk(ensemble, tokens=DECODE_TOKENS, **kw):
         e = LlavaEngine(
@@ -385,11 +443,125 @@ def run_once(n_layers):
 
     roofline_report(params, state.cache, greedy_tps, ens_tps, fused_tps, n_layers)
 
+    # K=8 SINGLE-STREAM lines (BASELINE.json #5 is phrased in this exact
+    # config: "K=8 ... <= 1.5x vanilla greedy latency per caption").
+    # Same B=1 state as the headline K=3 lines, K=8 prob ladder; latency
+    # ratio = greedy_tps / k8_tps (per-token steady state).
+    try:
+        _need("K=8 single-stream", 80)
+        k8e = mk(True)
+        k8e.ens = _EC(voting_probs=K8_PROBS, fused_step=False)
+        k8e.__post_init__()
+        k8_exact_tps = time_decode(k8e, state, params, ov)
+        print(
+            f"K=8 single-stream exact: {k8_exact_tps:.2f} t/s "
+            f"(= {greedy_tps / k8_exact_tps:.2f}x greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del k8e
+        k8f = mk(True)
+        k8f.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
+        k8f.__post_init__()
+        k8_fused_tps = time_decode(k8f, state, params, ov)
+        print(
+            f"K=8 single-stream fused: {k8_fused_tps:.2f} t/s "
+            f"(= {greedy_tps / k8_fused_tps:.2f}x greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del k8f
+    except Exception as e:
+        print(f"K=8 single-stream skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # int4 weight-only deployment (--quantize int4): group-wise (g=128)
+    # packed 4-bit projections, int8 lm_head + int8 KV.  Decode is HBM-bound on
+    # the weight stream, so halving the int8 stream again is the single
+    # biggest remaining decode lever (~3.5 GB/token vs 6.8).  Runs last:
+    # the int4 tower replaces the freed int8/Mistral weights on the chip.
+    try:
+        _need("int4 tier", 110)
+        from dropoutdecoding_tpu.utils.synthetic import synthetic_int4_lm
+
+        lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12))
+        proto4 = jax.jit(
+            lambda k: llava_mod.init_params(proto_cfg, k, jnp.bfloat16)
+        )(jax.random.key(13))
+        params4 = LlavaParams(
+            vision=proto4.vision, projector=proto4.projector, lm=lm4
+        )
+        _fetch(params4.lm["norm"])
+
+        def mk4(ensemble, tokens=DECODE_TOKENS, **kw):
+            return LlavaEngine(
+                cfg=cfg,
+                params=params4,
+                ens=EnsembleConfig(),
+                gen=GenerationConfig(
+                    max_new_tokens=tokens, eos_token_id=-1, pad_token_id=0
+                ),
+                max_len=PROMPT_LEN + tokens,
+                ensemble=ensemble,
+                seed=24,
+                int8_kv=True,
+                **kw,
+            )
+
+        g4 = mk4(False)
+        state4 = build_state(g4, cfg, jax.random.key(14))
+        _fetch(state4.first_token)
+        greedy4_tps = time_decode(g4, state4, params4, ov)
+        print(
+            f"int4 greedy: {greedy4_tps:.2f} t/s "
+            f"(= {greedy4_tps / greedy_tps:.2f}x int8 greedy)",
+            file=sys.stderr, flush=True,
+        )
+        del g4
+
+        f4 = mk4(True)
+        f4.ens = _EC(fused_step=True)
+        f4.__post_init__()
+        fused4_tps = time_decode(f4, state4, params4, ov)
+        print(
+            f"int4 ensemble K=3 (fused): {fused4_tps:.2f} t/s "
+            f"(= {greedy4_tps / fused4_tps:.2f}x int4 greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del f4
+
+        k8f4 = mk4(True)
+        k8f4.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
+        k8f4.__post_init__()
+        k8_fused4_tps = time_decode(k8f4, state4, params4, ov)
+        print(
+            f"int4 K=8 single-stream fused: {k8_fused4_tps:.2f} t/s "
+            f"(= {greedy4_tps / k8_fused4_tps:.2f}x int4 greedy latency; "
+            f"{greedy_tps / k8_fused4_tps:.2f}x int8 greedy latency)",
+            file=sys.stderr, flush=True,
+        )
+        del k8f4
+
+        # int4 roofline: packed weights = 0.5 B/param + fp32 group scales
+        lm_b = _tree_bytes(lm4) - lm4["embed_tokens"].nbytes
+        cache_b = _tree_bytes(state4.cache)
+        sol4 = HBM_BW / (lm_b + cache_b)
+        print(
+            f"int4 roofline: greedy {greedy4_tps:.1f} t/s = "
+            f"{100 * greedy4_tps / sol4:.0f}% of {sol4:.1f} t/s "
+            f"(@ {(lm_b + cache_b) / 1e9:.2f} GB/token)",
+            file=sys.stderr, flush=True,
+        )
+        import gc
+
+        del state4, params4, lm4, proto4
+        gc.collect()
+    except Exception as e:
+        print(f"int4 section skipped: {type(e).__name__}: {e}", file=sys.stderr)
     # prefill latency (vision tower + merge + LM + fused uncertainty
     # kernel) + the POPE fast path: a POPE answer is the argmax at the
     # prompt's last position (max_new_tokens=1, reference
     # pope_test.py:239-242), i.e. PrefillState.first_token directly.
     try:
+        _need("prefill/POPE block", 150)
         ids = np.array(
             [[1] + list(range(4, 20)) + [cfg.image_token_index]
              + list(range(20, 36))],
@@ -510,35 +682,6 @@ def run_once(n_layers):
     except Exception as e:
         print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # K=8 SINGLE-STREAM lines (BASELINE.json #5 is phrased in this exact
-    # config: "K=8 ... <= 1.5x vanilla greedy latency per caption").
-    # Same B=1 state as the headline K=3 lines, K=8 prob ladder; latency
-    # ratio = greedy_tps / k8_tps (per-token steady state).
-    try:
-        k8e = mk(True)
-        k8e.ens = _EC(voting_probs=K8_PROBS, fused_step=False)
-        k8e.__post_init__()
-        k8_exact_tps = time_decode(k8e, state, params, ov)
-        print(
-            f"K=8 single-stream exact: {k8_exact_tps:.2f} t/s "
-            f"(= {greedy_tps / k8_exact_tps:.2f}x greedy latency)",
-            file=sys.stderr, flush=True,
-        )
-        del k8e
-        k8f = mk(True)
-        k8f.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
-        k8f.__post_init__()
-        k8_fused_tps = time_decode(k8f, state, params, ov)
-        print(
-            f"K=8 single-stream fused: {k8_fused_tps:.2f} t/s "
-            f"(= {greedy_tps / k8_fused_tps:.2f}x greedy latency)",
-            file=sys.stderr, flush=True,
-        )
-        del k8f
-    except Exception as e:
-        print(f"K=8 single-stream skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
     # serving: continuous-batching DecodeServer (n_slots=8, fused K=3,
     # caption workload: 16 requests x 16 tokens), chunked dispatch — 8
     # decode steps per host round-trip (engine/serving.py step(n)) so the
@@ -546,6 +689,7 @@ def run_once(n_layers):
     # Baseline: per-request sequential generation (prefill + whole-loop
     # decode each).
     try:
+        _need("serving", 90)
         from dropoutdecoding_tpu.engine.serving import DecodeServer
 
         srv_eng = mk(True, tokens=16)
@@ -597,6 +741,7 @@ def run_once(n_layers):
     # Its own 16-token window: the B=16 cache at a 64-token window tips the
     # 16 GB chip over (weights 6.8 GB + 16 caches + the [16, N, V] state).
     try:
+        _need("stretch config", 60)
         k8 = mk(True, tokens=16)
         k8.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
         k8.__post_init__()
@@ -617,50 +762,69 @@ def run_once(n_layers):
     # path served by the fused Pallas int8 ensemble attention
     # (ops/pallas_decode_attention.py; XLA's repeat_kv would expand the
     # int8 cache 4x in bf16 every layer here).
+    # free EVERYTHING llava-sized before the Mistral-shaped sections —
+    # both 7B weight sets never coexist on the 16 GB chip.  (exec/del
+    # tricks don't touch function locals; spell the dels out.)  This and
+    # the shared tower build live OUTSIDE the section tries so the NeXT
+    # POPE block still runs when the GQA decode section is budget-skipped.
+    import gc
+
+    del state, greedy_engine, ens_engine, fused_engine, params, lm
+    del proto
     try:
-        import gc
+        del step
+    except NameError:
+        pass
+    try:
+        del state16, k8
+    except NameError:
+        pass
+    try:
+        del st  # prefill state holds a full cache
+    except NameError:
+        pass
+    try:
+        del stq  # batched-POPE state: B=8 cache
+    except NameError:
+        pass
+    try:
+        del e8
+    except NameError:
+        pass
+    gc.collect()
 
-        # free EVERYTHING llava-sized before building the Mistral tower —
-        # both 7B weight sets never coexist on the 16 GB chip.  (exec/del
-        # tricks don't touch function locals; spell the dels out.)
-        del state, greedy_engine, ens_engine, fused_engine, params, lm
-        del proto, step
-        try:
-            del state16, k8
-        except NameError:
-            pass
-        try:
-            del st  # prefill state holds a full cache
-        except NameError:
-            pass
-        try:
-            del stq  # batched-POPE state: B=8 cache
-        except NameError:
-            pass
-        try:
-            del e8
-        except NameError:
-            pass
-        gc.collect()
+    from dropoutdecoding_tpu.utils.config import LlamaConfig as _LC
 
-        from dropoutdecoding_tpu.utils.config import LlamaConfig as _LC
-
-        ncfg = LlavaConfig(
-            text=_LC(
-                num_key_value_heads=8,
-                intermediate_size=14336,
-                num_hidden_layers=n_layers,
-            ),
-            vision=ClipVisionConfig(image_size=756),  # 54x54 = 2916 patches
-        )
+    ncfg = LlavaConfig(
+        text=_LC(
+            num_key_value_heads=8,
+            intermediate_size=14336,
+            num_hidden_layers=n_layers,
+        ),
+        vision=ClipVisionConfig(image_size=756),  # 54x54 = 2916 patches
+    )
+    # shared Mistral-GQA int8 tower (the NeXT LM: identical shapes;
+    # rope_theta is runtime, not a weight) — built once for BOTH the GQA
+    # decode and NeXT POPE sections (round-4 verdict 1c: one tower, not
+    # two)
+    nlm = None
+    if _elapsed() + 60 <= BUDGET_S:
         nlm = synthetic_int8_lm(ncfg.text, jax.random.key(3))
-        nproto = llava_mod.init_params(
-            LlavaConfig(
-                text=ncfg.text.__class__(num_hidden_layers=1), vision=ncfg.vision
-            ),
-            jax.random.key(4),
-            jnp.bfloat16,
-        )
+
+    try:
+        _need("llavanext-shape config", 90)
+        if nlm is None:
+            raise RuntimeError("budget (no tower)")
+        nproto = jax.jit(
+            lambda k: llava_mod.init_params(
+                LlavaConfig(
+                    text=ncfg.text.__class__(num_hidden_layers=1),
+                    vision=ncfg.vision,
+                ),
+                k,
+                jnp.bfloat16,
+            )
+        )(jax.random.key(4))
         nparams = LlavaParams(
             vision=nproto.vision, projector=nproto.projector, lm=nlm
         )
@@ -702,6 +866,7 @@ def run_once(n_layers):
     # w8a8 prefill, 8 var-len questions, 2 unique images (tile ViT +
     # packing deduped via image_index).
     try:
+        _need("llava-next POPE block", 130)
         import gc
 
         try:
@@ -726,13 +891,18 @@ def run_once(n_layers):
                 num_hidden_layers=n_layers,
             ),
         )
-        xproto = next_mod.init_params(
-            LlavaNextConfig(text=xcfg.text.__class__(num_hidden_layers=1)),
-            jax.random.key(6),
-            jnp.bfloat16,
-        )
-        # the Mistral int8 tower from the GQA section doubles as the NeXT
-        # LM (identical shapes; rope_theta is runtime, not a weight)
+        if nlm is None:
+            raise RuntimeError("budget (no tower)")
+        xproto = jax.jit(
+            lambda k: next_mod.init_params(
+                LlavaNextConfig(
+                    text=xcfg.text.__class__(num_hidden_layers=1)
+                ),
+                k,
+                jnp.bfloat16,
+            )
+        )(jax.random.key(6))
+        # the shared Mistral int8 tower doubles as the NeXT LM
         xparams = LlavaNextParams(
             vision=xproto.vision,
             projector=xproto.projector,
@@ -818,7 +988,12 @@ def run_once(n_layers):
             file=sys.stderr, flush=True,
         )
         del hx, rx
-        del xeng, xparams, xproto, r, nlm, nparams, nproto
+        del xeng, xparams, xproto, r
+        nlm = None
+        try:
+            del nparams, nproto
+        except NameError:
+            pass
         gc.collect()
     except Exception as e:
         print(
@@ -830,6 +1005,7 @@ def run_once(n_layers):
     # int8 Vicuna tower; per-row instruction ids (the Q-Former reads the
     # question), ViT deduped across the batch's 2 unique images.
     try:
+        _need("instructblip POPE block", 120)
         from dropoutdecoding_tpu.engine.instructblip_engine import (
             InstructBlipEngine,
         )
@@ -842,15 +1018,17 @@ def run_once(n_layers):
                 vocab_size=32001, num_hidden_layers=n_layers
             ),
         )
-        iproto = ib_mod.init_params(
-            InstructBlipConfig(
-                text=icfg.text.__class__(
-                    vocab_size=32001, num_hidden_layers=1
+        iproto = jax.jit(
+            lambda k: ib_mod.init_params(
+                InstructBlipConfig(
+                    text=icfg.text.__class__(
+                        vocab_size=32001, num_hidden_layers=1
+                    ),
                 ),
-            ),
-            jax.random.key(8),
-            jnp.bfloat16,
-        )
+                k,
+                jnp.bfloat16,
+            )
+        )(jax.random.key(8))
         ilm = synthetic_int8_lm(icfg.text, jax.random.key(9))
         iparams = InstructBlipParams(
             vision=iproto.vision,
@@ -916,99 +1094,6 @@ def run_once(n_layers):
             file=sys.stderr,
         )
 
-    # int4 weight-only deployment (--quantize int4): group-wise (g=128)
-    # packed 4-bit projections, int8 lm_head + int8 KV.  Decode is HBM-bound on
-    # the weight stream, so halving the int8 stream again is the single
-    # biggest remaining decode lever (~3.5 GB/token vs 6.8).  Runs last:
-    # the int4 tower replaces the freed int8/Mistral weights on the chip.
-    try:
-        import gc
-
-        try:
-            del ieng, iparams, iproto, ilm, r
-        except NameError:
-            pass
-        gc.collect()
-        jax.clear_caches()
-
-        from dropoutdecoding_tpu.utils.synthetic import synthetic_int4_lm
-
-        lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12))
-        proto4 = llava_mod.init_params(
-            LlavaConfig(
-                text=cfg.text.__class__(num_hidden_layers=1), vision=cfg.vision
-            ),
-            jax.random.key(13),
-            jnp.bfloat16,
-        )
-        params4 = LlavaParams(
-            vision=proto4.vision, projector=proto4.projector, lm=lm4
-        )
-        _fetch(params4.lm["norm"])
-
-        def mk4(ensemble, tokens=DECODE_TOKENS, **kw):
-            return LlavaEngine(
-                cfg=cfg,
-                params=params4,
-                ens=EnsembleConfig(),
-                gen=GenerationConfig(
-                    max_new_tokens=tokens, eos_token_id=-1, pad_token_id=0
-                ),
-                max_len=PROMPT_LEN + tokens,
-                ensemble=ensemble,
-                seed=24,
-                int8_kv=True,
-                **kw,
-            )
-
-        g4 = mk4(False)
-        state4 = build_state(g4, cfg, jax.random.key(14))
-        _fetch(state4.first_token)
-        greedy4_tps = time_decode(g4, state4, params4, ov)
-        print(
-            f"int4 greedy: {greedy4_tps:.2f} t/s "
-            f"(= {greedy4_tps / greedy_tps:.2f}x int8 greedy)",
-            file=sys.stderr, flush=True,
-        )
-        del g4
-
-        f4 = mk4(True)
-        f4.ens = _EC(fused_step=True)
-        f4.__post_init__()
-        fused4_tps = time_decode(f4, state4, params4, ov)
-        print(
-            f"int4 ensemble K=3 (fused): {fused4_tps:.2f} t/s "
-            f"(= {greedy4_tps / fused4_tps:.2f}x int4 greedy latency)",
-            file=sys.stderr, flush=True,
-        )
-        del f4
-
-        k8f4 = mk4(True)
-        k8f4.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
-        k8f4.__post_init__()
-        k8_fused4_tps = time_decode(k8f4, state4, params4, ov)
-        print(
-            f"int4 K=8 single-stream fused: {k8_fused4_tps:.2f} t/s "
-            f"(= {greedy4_tps / k8_fused4_tps:.2f}x int4 greedy latency; "
-            f"{greedy_tps / k8_fused4_tps:.2f}x int8 greedy latency)",
-            file=sys.stderr, flush=True,
-        )
-        del k8f4
-
-        # int4 roofline: packed weights = 0.5 B/param + fp32 group scales
-        lm_b = _tree_bytes(lm4) - lm4["embed_tokens"].nbytes
-        cache_b = _tree_bytes(state4.cache)
-        sol4 = HBM_BW / (lm_b + cache_b)
-        print(
-            f"int4 roofline: greedy {greedy4_tps:.1f} t/s = "
-            f"{100 * greedy4_tps / sol4:.0f}% of {sol4:.1f} t/s "
-            f"(@ {(lm_b + cache_b) / 1e9:.2f} GB/token)",
-            file=sys.stderr, flush=True,
-        )
-        del state4, params4, lm4, proto4
-        gc.collect()
-    except Exception as e:
-        print(f"int4 section skipped: {type(e).__name__}: {e}", file=sys.stderr)
     return greedy_tps, ens_tps, fused_tps, ref_tps
 
 
@@ -1017,6 +1102,7 @@ def main():
 
     import jax
 
+    _enable_compile_cache()
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     result = None
     while n_layers >= 2:

@@ -82,15 +82,12 @@ def make_engine(args):
     from ..utils.processor import VlmProcessor
 
     model = args.model
-    if str2bool(args.opera):
-        raise SystemExit(
-            "OPERA decoding requires the external OPERA-patched minigpt4 "
-            "package, which the reference also does not vendor "
-            "(reference chair_test.py:306-323, test_opera.py:16-21). "
-            "Run with --original/--vcd or the default dropout decoding."
-        )
+    use_opera = str2bool(args.opera)
 
-    num_beams = args.num_beams if args.num_beams is not None else 1
+    # reference --opera arm defaults: num_beams=3 (chair_test.py:307-310)
+    num_beams = args.num_beams if args.num_beams is not None else (
+        3 if use_opera else 1
+    )
     do_sample = str2bool(getattr(args, "do_sample", False))
     if do_sample and num_beams > 1:
         raise SystemExit(
@@ -117,7 +114,9 @@ def make_engine(args):
     common = dict(
         ens=build_ensemble_config(args, model),
         gen=gen,
-        ensemble=not (str2bool(args.original) or str2bool(args.vcd)),
+        ensemble=not (
+            str2bool(args.original) or str2bool(args.vcd) or use_opera
+        ),
         seed=args.seed if args.seed is not None else REFERENCE_SEEDS[model],
         text_logits_mask=str2bool(getattr(args, "text_logit_mask", False)),
         w8a8_prefill=getattr(args, "quantize", None) == "w8a8",
@@ -171,6 +170,14 @@ def make_engine(args):
             raise SystemExit(
                 "--spec-gamma is single-stream (B=1); drop --batch-size"
             )
+    if use_opera:
+        if str2bool(args.original) or str2bool(args.vcd):
+            raise SystemExit("--opera excludes --original/--vcd")
+        if (getattr(args, "batch_size", 1) or 1) > 1:
+            raise SystemExit(
+                "--opera rollback makes per-image steps diverge; it runs "
+                "one image per program (drop --batch-size)"
+            )
 
     if model == "llava-1.5":
         from ..engine.generate import LlavaEngine
@@ -223,6 +230,18 @@ def make_engine(args):
         )
     else:
         raise SystemExit(f"unknown model {model!r}")
+    if use_opera:
+        # reference --opera generate kwargs (chair_test.py:312-323):
+        # scale_factor=5, threshold=15, num_attn_candidates=1,
+        # penalty_weights=1 — overridable like test_opera.py's flags
+        engine._opera = dict(
+            num_beams=num_beams,
+            scale_factor=getattr(args, "scale_factor", 5.0),
+            threshold=int(getattr(args, "threshold", 15)),
+            num_attn_candidates=int(getattr(args, "num_attn_candidates", 1)),
+            penalty_weights=getattr(args, "penalty_weights", 1.0),
+            length_penalty=getattr(args, "length_penalty", 1.0),
+        )
     return engine, processor
 
 
@@ -252,7 +271,11 @@ def qformer_ids_for(processor, prompt, enc):
 def run_engine(engine, processor, model, prompt, image):
     """One caption: model-specific input prep + generate + decode."""
     use_cd = engine.gen.use_cd
-    use_beam = not engine.ensemble and engine.gen.num_beams > 1 and not use_cd
+    opera_kw = getattr(engine, "_opera", None)
+    use_beam = (
+        not engine.ensemble and engine.gen.num_beams > 1 and not use_cd
+        and opera_kw is None
+    )
 
     if model == "llava-next":
         import jax
@@ -274,6 +297,12 @@ def run_engine(engine, processor, model, prompt, image):
                 engine.prefill(ids, _np.asarray(noised), orig),
             )
             result = vcd_generate(engine, states=states)
+        elif opera_kw is not None:
+            from ..engine.opera import opera_generate
+
+            result = opera_generate(
+                engine, state=engine.prefill(ids, tiles, orig), **opera_kw
+            )
         elif use_beam:
             from ..engine.baselines import beam_generate
 
@@ -308,6 +337,16 @@ def run_engine(engine, processor, model, prompt, image):
                 engine.prefill(inputs["input_ids"], _np.asarray(noised), q_ids),
             )
             result = vcd_generate(engine, states=states)
+        elif opera_kw is not None:
+            from ..engine.opera import opera_generate
+
+            result = opera_generate(
+                engine,
+                state=engine.prefill(
+                    inputs["input_ids"], inputs["pixel_values"], q_ids
+                ),
+                **opera_kw,
+            )
         elif use_beam:
             from ..engine.baselines import beam_generate
 
@@ -330,6 +369,13 @@ def run_engine(engine, processor, model, prompt, image):
             from ..engine.baselines import vcd_generate
 
             result = vcd_generate(engine, inputs["input_ids"], inputs["pixel_values"])
+        elif opera_kw is not None:
+            from ..engine.opera import opera_generate
+
+            result = opera_generate(
+                engine, inputs["input_ids"], inputs["pixel_values"],
+                **opera_kw,
+            )
         elif not engine.ensemble and engine.gen.num_beams > 1:
             from ..engine.baselines import beam_generate
 
@@ -695,6 +741,15 @@ def build_parser():
     p.add_argument("--avg", type=str2bool, default=False)
     p.add_argument("--voting-numbers", type=int, default=3)
     p.add_argument("--opera", type=str2bool, default=False)
+    # OPERA knobs (reference test_opera.py:86-89 flag surface; defaults
+    # here are the reference chair arm's values, chair_test.py:312-323)
+    p.add_argument("--scale_factor", "--scale-factor", dest="scale_factor",
+                   type=float, default=5.0)
+    p.add_argument("--threshold", type=int, default=15)
+    p.add_argument("--num_attn_candidates", "--num-attn-candidates",
+                   dest="num_attn_candidates", type=int, default=1)
+    p.add_argument("--penalty_weights", "--penalty-weights",
+                   dest="penalty_weights", type=float, default=1.0)
     p.add_argument("--vcd", type=str2bool, default=False)
     p.add_argument("--use_random", type=str2bool, default=False)
     p.add_argument("--output-dir", type=str, default="./outputs")

@@ -924,3 +924,106 @@ def decode_step(
     xf, (k_new, v_new) = jax.lax.scan(layer, x, xs)
     hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
     return hidden, k_new, v_new
+
+
+def decode_step_attn(
+    params: dict,
+    cfg: LlamaConfig,
+    x: jax.Array,
+    position: jax.Array,
+    cache: KVCache,
+    key_mask: jax.Array,
+):
+    """One-token forward that ALSO returns the new token's self-attention
+    probabilities — the capture OPERA's over-trust penalty needs
+    (engine/opera.py; the reference reaches OPERA via `output_attentions=
+    True` generate kwargs, chair_test.py:312-323).
+
+    Plain XLA formulation (no member axis, no Pallas): OPERA is a
+    baseline decoding method, and its candidate fan-out runs as extra
+    batch rows, which XLA's batched GEMV handles well at beam-search
+    widths.
+
+    Args:
+      x: [B, D] current-token embeddings (B = flattened beams x
+        attention candidates).
+      position: [B] rope position of the current token.
+      cache: canonical KVCache, dense [L, B, S, KH, Dh] or int8
+        ({"q" [L,B,S,KH*D], "s" [L,B,KH,S]}).
+      key_mask: [B, S] cache-slot mask (True = attend).
+    Returns:
+      (hidden [B, D], k_new [L, B, KH, Dh], v_new [L, B, KH, Dh],
+       attn [B, S]): attn is the LAST layer's head-mean attention of the
+      current token over cache slots (softmax includes the token's
+      self-score; the self column is not part of the returned row).
+    """
+    B, D = x.shape
+    H, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    n_rep = H // KH
+    cos, sin = rotary_embedding(position, Dh, cfg.rope_theta)  # [B, Dh]
+    cos, sin = cos[:, None, None, :], sin[:, None, None, :]
+    quantized = cache_is_quantized(cache)
+    Smax = (cache.k["q"] if quantized else cache.k).shape[2]
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+
+    def attend(q, kc, vc, ksc, vsc, k_new, v_new):
+        # q [B,1,H,Dh]; kc/vc [B,S,KH,Dh]; ksc/vsc [B,KH,S] or None
+        kr = jnp.repeat(kc, n_rep, axis=2) if n_rep > 1 else kc
+        vr = jnp.repeat(vc, n_rep, axis=2) if n_rep > 1 else vc
+        scores = (
+            jnp.einsum(
+                "bmhd,bshd->bmhs", q, kr.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if ksc is not None:
+            ksr = jnp.repeat(ksc, n_rep, axis=1) if n_rep > 1 else ksc
+            scores = scores * ksr[:, None]  # [B,1,H,S]
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+        self_s = (
+            jnp.einsum(
+                "bmhd,bmhd->bmh", q, jnp.repeat(k_new, n_rep, axis=2)
+                if n_rep > 1 else k_new,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m = jnp.maximum(jnp.max(scores, -1), self_s)  # [B,1,H]
+        e = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_s - m)
+        denom = jnp.sum(e, -1) + e_self  # [B,1,H]
+        probs = e / denom[..., None]  # [B,1,H,S]
+        p_self = e_self / denom
+        pv = probs.astype(q.dtype)
+        if vsc is not None:
+            vsr = jnp.repeat(vsc, n_rep, axis=1) if n_rep > 1 else vsc
+            pv = pv * vsr[:, None].astype(q.dtype)
+        out = jnp.einsum("bmhs,bshd->bmhd", pv, vr.astype(q.dtype))
+        out = out + p_self[..., None].astype(q.dtype) * (
+            jnp.repeat(v_new, n_rep, axis=2) if n_rep > 1 else v_new
+        )
+        return out, probs.mean(axis=2)[:, 0]  # [B,1,H,Dh], [B,1? -> B,S]
+
+    def layer(xc, scanned):
+        lp, kc_l, vc_l = scanned
+        h = rms_norm(xc[:, None], lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, h, _mm, H, KH, Dh)  # [B,1,H,Dh]/[B,1,KH,Dh]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if quantized:
+            kc = kc_l["q"].reshape(B, Smax, KH, Dh)
+            vc = vc_l["q"].reshape(B, Smax, KH, Dh)
+            ksc, vsc = kc_l["s"], vc_l["s"]
+        else:
+            kc, vc, ksc, vsc = kc_l, vc_l, None, None
+        attn_out, probs = attend(q, kc, vc, ksc, vsc, k, v)
+        xc = xc + _mm(attn_out.reshape(B, H * Dh), lp["o_proj"])
+        h2 = rms_norm(xc[:, None], lp["post_attn_ln"], cfg.rms_norm_eps)
+        xc = xc + _mlp(lp, h2, _mm)[:, 0]
+        return xc, (k[:, 0], v[:, 0], probs)
+
+    xs = (params["layers"], cache.k, cache.v)
+    xf, (k_new, v_new, probs_all) = jax.lax.scan(layer, x, xs)
+    hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
+    return hidden, k_new, v_new, probs_all[-1]

@@ -12,7 +12,13 @@ from __future__ import annotations
 def synthetic_int8_lm(cfg, key):
     """Llama params with the projections + lm_head generated DIRECTLY in
     int8 ({"q", "s"} utils/quantize layout).  Scales put the dequantized
-    std at a realistic ~0.02."""
+    std at a realistic ~0.02.
+
+    The whole tower is emitted by ONE jitted program built on
+    ``jax.random.bits`` (bitcast to int8): at the 7B shape the round-3
+    generator's 16 op-by-op ``randint`` dispatches cost ~113 s of
+    compile+dispatch over the axon tunnel, vs ~5 s compile + <1 s run for
+    the single bits program (round-4 verdict item 1)."""
     import jax
     import jax.numpy as jnp
 
@@ -23,34 +29,41 @@ def synthetic_int8_lm(cfg, key):
         cfg.head_dim,
         cfg.num_hidden_layers,
     )
-    ks = iter(jax.random.split(key, 16))
 
-    def qmat(shape):
-        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
-        # uniform int8 std ~73.3; scale for weight std ~0.02
-        s = jnp.full(shape[:-2] + (1, shape[-1]), 0.02 / 73.3, jnp.float32)
-        return {"q": q, "s": s}
+    @jax.jit
+    def gen(key):
+        ks = iter(jax.random.split(key, 16))
 
-    layers = {
-        "input_ln": jnp.ones((L, D), jnp.bfloat16),
-        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
-        "q_proj": qmat((L, D, H * Dh)),
-        "k_proj": qmat((L, D, KH * Dh)),
-        "v_proj": qmat((L, D, KH * Dh)),
-        "o_proj": qmat((L, H * Dh, D)),
-        "gate_proj": qmat((L, D, I)),
-        "up_proj": qmat((L, D, I)),
-        "down_proj": qmat((L, I, D)),
-    }
-    emb = (
-        0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
-    ).astype(jnp.bfloat16)
-    return {
-        "embed_tokens": emb,
-        "layers": layers,
-        "norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": qmat((D, V)),
-    }
+        def qmat(shape):
+            q = jax.lax.bitcast_convert_type(
+                jax.random.bits(next(ks), shape, jnp.uint8), jnp.int8
+            )
+            # uniform int8 std ~73.9; scale for weight std ~0.02
+            s = jnp.full(shape[:-2] + (1, shape[-1]), 0.02 / 73.9, jnp.float32)
+            return {"q": q, "s": s}
+
+        layers = {
+            "input_ln": jnp.ones((L, D), jnp.bfloat16),
+            "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+            "q_proj": qmat((L, D, H * Dh)),
+            "k_proj": qmat((L, D, KH * Dh)),
+            "v_proj": qmat((L, D, KH * Dh)),
+            "o_proj": qmat((L, H * Dh, D)),
+            "gate_proj": qmat((L, D, I)),
+            "up_proj": qmat((L, D, I)),
+            "down_proj": qmat((L, I, D)),
+        }
+        emb = (
+            0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
+        ).astype(jnp.bfloat16)
+        return {
+            "embed_tokens": emb,
+            "layers": layers,
+            "norm": jnp.ones((D,), jnp.bfloat16),
+            "lm_head": qmat((D, V)),
+        }
+
+    return gen(key)
 
 
 def synthetic_int4_lm(cfg, key):
@@ -69,46 +82,57 @@ def synthetic_int4_lm(cfg, key):
         cfg.head_dim,
         cfg.num_hidden_layers,
     )
-    ks = iter(jax.random.split(key, 16))
 
-    def qmat(shape):
-        d, e = shape[-2], shape[-1]
-        packed = jax.random.randint(
-            next(ks), shape[:-2] + (d // 2, e), -128, 128, jnp.int8
-        )
-        # uniform nibbles in [-8, 7]: std ~4.6; scale for weight std ~0.02
-        s = jnp.full(
-            shape[:-2] + (d // INT4_GROUP, e), 0.02 / 4.6, jnp.float32
-        )
-        return {"q4": packed, "s4": s}
+    @jax.jit
+    def gen(key):
+        ks = iter(jax.random.split(key, 16))
 
-    def qmat8(shape):
-        # deployment int4 config keeps the lm_head at int8
-        # (utils/quantize.quantize_llama_params_int4 lm_head="int8")
-        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
-        s = jnp.full(shape[:-2] + (1, shape[-1]), 0.02 / 73.3, jnp.float32)
-        return {"q": q, "s": s}
+        def qmat(shape):
+            d, e = shape[-2], shape[-1]
+            packed = jax.lax.bitcast_convert_type(
+                jax.random.bits(next(ks), shape[:-2] + (d // 2, e), jnp.uint8),
+                jnp.int8,
+            )
+            # uniform nibbles in [-8, 7]: std ~4.6; scale for weight
+            # std ~0.02
+            s = jnp.full(
+                shape[:-2] + (d // INT4_GROUP, e), 0.02 / 4.6, jnp.float32
+            )
+            return {"q4": packed, "s4": s}
 
-    layers = {
-        "input_ln": jnp.ones((L, D), jnp.bfloat16),
-        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
-        "q_proj": qmat((L, D, H * Dh)),
-        "k_proj": qmat((L, D, KH * Dh)),
-        "v_proj": qmat((L, D, KH * Dh)),
-        "o_proj": qmat((L, H * Dh, D)),
-        "gate_proj": qmat((L, D, I)),
-        "up_proj": qmat((L, D, I)),
-        "down_proj": qmat((L, I, D)),
-    }
-    emb = (
-        0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
-    ).astype(jnp.bfloat16)
-    return {
-        "embed_tokens": emb,
-        "layers": layers,
-        "norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": qmat8((D, V)),
-    }
+        def qmat8(shape):
+            # deployment int4 config keeps the lm_head at int8
+            # (utils/quantize.quantize_llama_params_int4 lm_head="int8")
+            q = jax.lax.bitcast_convert_type(
+                jax.random.bits(next(ks), shape, jnp.uint8), jnp.int8
+            )
+            s = jnp.full(
+                shape[:-2] + (1, shape[-1]), 0.02 / 73.9, jnp.float32
+            )
+            return {"q": q, "s": s}
+
+        layers = {
+            "input_ln": jnp.ones((L, D), jnp.bfloat16),
+            "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+            "q_proj": qmat((L, D, H * Dh)),
+            "k_proj": qmat((L, D, KH * Dh)),
+            "v_proj": qmat((L, D, KH * Dh)),
+            "o_proj": qmat((L, H * Dh, D)),
+            "gate_proj": qmat((L, D, I)),
+            "up_proj": qmat((L, D, I)),
+            "down_proj": qmat((L, I, D)),
+        }
+        emb = (
+            0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
+        ).astype(jnp.bfloat16)
+        return {
+            "embed_tokens": emb,
+            "layers": layers,
+            "norm": jnp.ones((D,), jnp.bfloat16),
+            "lm_head": qmat8((D, V)),
+        }
+
+    return gen(key)
 
 
 def synthetic_llava_7b(key, n_layers=None, weights="int8"):

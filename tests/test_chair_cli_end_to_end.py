@@ -316,3 +316,65 @@ def test_chair_cli_spec_gamma_matches_original(
     )
     assert plain == spec
     assert len(plain) == 4
+
+
+def test_chair_cli_opera_end_to_end(
+    synthetic_coco, tmp_path, monkeypatch, tiny_llava
+):
+    """--opera True runs the native OPERA arm (the round-3 CLI gate is
+    gone).  At penalty_weights=0 with a full candidate pool the captions
+    must equal plain --num-beams beam search (engine equivalence is pinned
+    in tests/test_opera.py; this checks the CLI wiring end to end)."""
+    from dropoutdecoding_tpu.cli import chair_test as cli
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_beam(args):
+        return (
+            _mk_fake_engine(cfg, params, ensemble=False, num_beams=3),
+            _TinyProcessor(cfg),
+        )
+
+    def fake_opera(args):
+        eng = _mk_fake_engine(cfg, params, ensemble=False, num_beams=3)
+        eng._opera = dict(
+            num_beams=3,
+            scale_factor=args.scale_factor,
+            threshold=args.threshold,
+            num_attn_candidates=6,
+            penalty_weights=0.0,
+            length_penalty=1.0,
+        )
+        return eng, _TinyProcessor(cfg)
+
+    d1 = tmp_path / "beam"
+    d2 = tmp_path / "opera"
+    d1.mkdir(); d2.mkdir()
+    monkeypatch.setattr(cli, "make_engine", fake_beam)
+    monkeypatch.chdir(d1)
+    beam = _run_cli(
+        cli, synthetic_coco, d1, ["--original", "True", "--num-beams", "3"]
+    )
+    monkeypatch.setattr(cli, "make_engine", fake_opera)
+    monkeypatch.chdir(d2)
+    opera = _run_cli(
+        cli, synthetic_coco, d2,
+        ["--opera", "True", "--threshold", "1000000"],
+    )
+    assert opera == beam
+    assert len(opera) == 4
+
+
+def test_chair_cli_opera_flag_surface(tiny_llava):
+    """The reference OPERA knobs parse with their chair-arm defaults
+    (reference chair_test.py:312-323) and --opera excludes --batch-size."""
+    from dropoutdecoding_tpu.cli import chair_test as cli
+
+    p = cli.build_parser()
+    args = p.parse_args(
+        ["--method", "m", "--coco-data-dir", "d", "--model-path", "m"]
+    )
+    assert args.scale_factor == 5.0
+    assert args.threshold == 15
+    assert args.num_attn_candidates == 1
+    assert args.penalty_weights == 1.0

@@ -387,3 +387,31 @@ def test_vcd_states_path_batched_matches_serial(tiny_instructblip):
     batched = vcd_generate(eng, states=states_b)
     np.testing.assert_array_equal(batched.tokens[0], s0.tokens[0])
     np.testing.assert_array_equal(batched.tokens[1], s1.tokens[0])
+
+
+def test_opera_matches_beam_at_zero_penalty(tiny_instructblip):
+    """OPERA over the InstructBLIP engine's state (the --opera CLI arm's
+    second family): penalty_weights=0 with a full candidate pool must
+    equal plain beam search on the same prefill."""
+    from dropoutdecoding_tpu.engine.baselines import beam_generate
+    from dropoutdecoding_tpu.engine.opera import opera_generate
+
+    model, cfg, params, pixels = tiny_instructblip
+    q_ids = np.array([[3, 7, 11]])
+    input_ids = np.array([[1, 9, 21, 33]])
+    eng = InstructBlipEngine(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                             pad_token_id=0, num_beams=2),
+        max_len=48,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+    state = eng.prefill(input_ids, pixels, q_ids)
+    beam = beam_generate(eng, state=state, num_beams=2)
+    op = opera_generate(
+        eng, state=state, num_beams=2, penalty_weights=0.0,
+        num_attn_candidates=4, threshold=10**6,
+    )
+    np.testing.assert_array_equal(op.tokens, beam.tokens)

@@ -473,3 +473,41 @@ def test_tp_sharded_generate_matches_single_device(tiny_llava_next):
     with mesh:
         tokens = mk(sp).generate(ids, tiles, orig).tokens
     np.testing.assert_array_equal(tokens, ref)
+
+
+def test_opera_matches_beam_at_zero_penalty(tiny_llava_next):
+    """OPERA over the LLaVA-NeXT engine's state (the --opera CLI arm's
+    third family): penalty_weights=0 with a full candidate pool must
+    equal plain beam search on the same anyres prefill."""
+    from PIL import Image
+
+    from dropoutdecoding_tpu.engine.baselines import beam_generate
+    from dropoutdecoding_tpu.engine.opera import opera_generate
+    from dropoutdecoding_tpu.utils.processor import LlavaNextImagePreprocessor
+
+    model, cfg, params = tiny_llava_next
+    rng = np.random.default_rng(21)
+    img = Image.fromarray(
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8), "RGB"
+    )
+    prep = LlavaNextImagePreprocessor(PINPOINTS, tile_size=28)
+    tiles, orig = prep(img)
+    input_ids = np.array([[1, 5, 9, 32, 11, 13]])
+    eng = LlavaNextEngine(
+        cfg=cfg,
+        params=params,
+        gen=GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                             pad_token_id=0, num_beams=2),
+        max_len=next_mod.max_image_tokens(cfg) + 32,
+        ensemble=False,
+    )
+    eng.param_dtype = jnp.float32
+    state = eng.prefill(
+        input_ids, tiles[None] if tiles.ndim == 3 else tiles, orig
+    )
+    beam = beam_generate(eng, state=state, num_beams=2)
+    op = opera_generate(
+        eng, state=state, num_beams=2, penalty_weights=0.0,
+        num_attn_candidates=4, threshold=10**6,
+    )
+    np.testing.assert_array_equal(op.tokens, beam.tokens)
