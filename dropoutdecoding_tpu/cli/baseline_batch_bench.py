@@ -72,7 +72,7 @@ def main(argv=None):
 
     T = args.tokens
 
-    def mk(use_cd, B):
+    def mk(use_cd):
         return LlavaEngine(
             cfg=cfg,
             params=params,
@@ -99,7 +99,7 @@ def main(argv=None):
 
     # ---- VCD ----
     B = args.batch
-    evcd = mk(True, B)
+    evcd = mk(True)
     st_b = (states(evcd, B, 2), states(evcd, B, 3))
     st_1 = (states(evcd, 1, 2), states(evcd, 1, 3))
     t_b = timed(lambda: vcd_generate(evcd, states=st_b, seed=7))
@@ -122,7 +122,7 @@ def main(argv=None):
 
     # ---- beam ----
     Bb = args.beam_batch
-    ebeam = mk(False, Bb)
+    ebeam = mk(False)
     sb = states(ebeam, Bb, 4)
     s1 = states(ebeam, 1, 4)
 
@@ -155,4 +155,9 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 1)
+    # exit code reflects the bench's purpose: batched paths must not lose
+    # to serial (ADVICE r3: the old `0 if main() else 1` was dead — main
+    # always returned a truthy dict)
+    res = main()
+    ok = all(v["speedup"] >= 1.0 for v in res.values())
+    sys.exit(0 if ok else 1)

@@ -204,6 +204,18 @@ def make_engine(args):
                 draft_lm=quantize_llama_params_int4(raw_lm),
                 gamma=int(spec_gamma),
             )
+            import sys as _sys
+
+            print(
+                "--spec-gamma note: output is exactly the greedy "
+                "sequence; SPEED depends on the int4 self-draft's "
+                "acceptance rate (alpha).  Trained checkpoints sit at "
+                "the literature's 0.7-0.9 (projected ~1.3-1.5x greedy); "
+                "on uncorrelated/random weights alpha~0 and speculation "
+                "LOSES to plain --original (STATUS.md, "
+                "cli/spec_bench.py).",
+                file=_sys.stderr,
+            )
     elif model == "instructblip":
         from ..engine.instructblip_engine import InstructBlipEngine
         from ..models import instructblip as ib_mod
@@ -289,8 +301,10 @@ def run_engine(engine, processor, model, prompt, image):
 
             from ..engine.baselines import vcd_generate
 
+            from ..decoding.vcd import noise_key
+
             noised = diffusion_noise(
-                jax.random.key(0), tiles, engine.gen.cd_noise_step
+                noise_key(), tiles, engine.gen.cd_noise_step
             )
             states = (
                 engine.prefill(ids, tiles, orig),
@@ -327,8 +341,10 @@ def run_engine(engine, processor, model, prompt, image):
 
             # noise the ViT input; the Q-Former then reads the noised
             # image's features (VCD's contrastive stream for InstructBLIP)
+            from ..decoding.vcd import noise_key
+
             noised = diffusion_noise(
-                jax.random.key(0),
+                noise_key(),
                 jax.numpy.asarray(inputs["pixel_values"]),
                 engine.gen.cd_noise_step,
             )
@@ -389,8 +405,9 @@ def run_engine(engine, processor, model, prompt, image):
             )
         elif getattr(engine, "_spec", None) is not None:
             # speculative greedy (--spec-gamma): token-identical to
-            # engine.generate, fewer target weight streams per token
-            tokens, _, _ = engine._spec.generate(
+            # engine.generate, fewer target weight streams per token;
+            # whole-generation single-dispatch program
+            tokens, _ = engine._spec.generate_fused(
                 inputs["input_ids"], inputs["pixel_values"]
             )
             return processor.decode(tokens)
@@ -563,7 +580,9 @@ def main(args):
                 from ..decoding.vcd import diffusion_noise as _noise
                 from ..engine.baselines import vcd_generate as _vcd
 
-                _k0 = _jax.random.key(0)
+                from ..decoding.vcd import noise_key as _nkey
+
+                _k0 = _nkey()
                 _nstep = engine.gen.cd_noise_step
                 if model == "llava-next":
                     noised_list = [
@@ -684,6 +703,52 @@ def main(args):
         verbosity=True,
     )
 
+    if str2bool(getattr(args, "consistency", False)):
+        # LM-consistency analysis (reference lm_consistency.py:34-62 is
+        # dormant — it reads pickles its repo never ships).  Here the
+        # blank-image next-word distributions are PRODUCED from the live
+        # engine and scored in one pass (round-3 verdict missing #5).
+        if model != "llava-1.5":
+            raise SystemExit(
+                "--consistency is defined for llava-1.5 (the reference "
+                "analysis was written against LLaVA captions)"
+            )
+        from ..evalsuite.consistency import lm_consistency
+        from ..evalsuite.consistency_producer import (
+            blank_image_distributions,
+        )
+
+        stem = (
+            f"llava_{model}_coco_num_images_500_chair_results.json"
+        )
+        chair_json = os.path.join(
+            "./results", args.method, f"llava_{model}", "coco", stem
+        )
+        with open(chair_json) as f:
+            cap_dict = json.load(f)
+        dists = {}
+        for rec in deduped:
+            dists[rec["image_id"]] = blank_image_distributions(
+                engine, processor, PROMPTS[model], rec["caption"]
+            )
+        result = lm_consistency(cap_dict, dists)
+        cons_path = os.path.join(
+            args.output_dir, f"{args.method}_lm_consistency.json"
+        )
+        with open(cons_path, "w") as f:
+            json.dump(
+                {"mean_rank": result["mean_rank"],
+                 "per_image": result["per_image"],
+                 "distributions_topk": {
+                     str(k): v for k, v in dists.items()
+                 }},
+                f,
+            )
+        print(
+            f"LM consistency: mean hallucinated-word blank-image rank "
+            f"{result['mean_rank']:.2f} -> {cons_path}"
+        )
+
     if str2bool(getattr(args, "throne", False)):
         # THRONE-format export + class-wise P/R scoring (the reference's
         # chair2throne converter is missing from its repo, README.md:67)
@@ -729,6 +794,15 @@ def build_parser():
     # do_sample=True, temperature=1.0, top_p=1, top_k=None —
     # chair_test.py:331-334 — and the VCD sampler here always samples;
     # these also enable sampled dropout-decoding / greedy runs)
+    p.add_argument(
+        "--consistency",
+        type=str2bool,
+        default=False,
+        help="after CHAIR scoring, produce blank-image LM next-word "
+        "distributions for every caption and report the mean LM rank of "
+        "hallucinated words (evalsuite/consistency.lm_consistency; the "
+        "reference's version is dormant)",
+    )
     p.add_argument("--do-sample", type=str2bool, default=False)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-p", type=float, default=1.0)

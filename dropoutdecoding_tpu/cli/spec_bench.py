@@ -96,6 +96,41 @@ def main(argv=None):
     greedy_tps = (T - 1) / (best - min(rtt, best / 2))
     print(f"greedy baseline: {greedy_tps:.1f} t/s", file=sys.stderr, flush=True)
 
+    def run_fused(draft, gamma, label):
+        """generate_fused: whole-generation single-dispatch program (the
+        deployment path; per-cycle host fetches eliminated)."""
+        spec = SpeculativeGreedy(engine=eng, draft_lm=draft, gamma=gamma)
+        spec.generate_fused(*prompts[0])  # warm
+        stats = []
+        for ids, px in prompts:
+            st = eng.prefill(ids, px)
+            dc = spec._draft_prefill(eng.params, spec.draft_lm,
+                                     jnp.asarray(ids), px)
+            np.asarray(st.first_token)
+            t0 = time.perf_counter()
+            buf, n_out, iters = spec._fused(
+                eng.params, spec.draft_lm, st.cache, dc,
+                st.cur_len, st.first_token,
+            )
+            n = int(np.asarray(n_out))
+            el = time.perf_counter() - t0
+            stats.append((n + 1, int(np.asarray(iters)), el))
+        n_tok = sum(s[0] for s in stats)
+        n_cyc = sum(s[1] for s in stats)
+        wall = sum(s[2] for s in stats)
+        tps = n_tok / max(wall - len(stats) * min(rtt, wall / 2), 1e-9)
+        print(
+            f"{label} gamma={gamma} FUSED: {tps:.1f} t/s "
+            f"({n_tok / max(n_cyc, 1):.2f} tok/cycle, {n_cyc} cycles, one "
+            f"dispatch per generation)",
+            file=sys.stderr, flush=True,
+        )
+        return dict(
+            label=label + "-fused", gamma=gamma,
+            tok_per_cycle=round(n_tok / max(n_cyc, 1), 3),
+            tps_wall=round(tps, 2),
+        )
+
     def run_spec(draft, gamma, label):
         spec = SpeculativeGreedy(engine=eng, draft_lm=draft, gamma=gamma)
         # warm
@@ -138,7 +173,9 @@ def main(argv=None):
     results = []
     for g in args.gammas:
         results.append(run_spec(p4.lm, g, "int4-draft"))
+        results.append(run_fused(p4.lm, g, "int4-draft"))
     results.append(run_spec(p8.lm, args.gammas[0], "target-draft(alpha=1)"))
+    results.append(run_fused(p8.lm, args.gammas[0], "target-draft(alpha=1)"))
 
     print(json.dumps({
         "metric": "speculative_greedy_7b",

@@ -14,6 +14,17 @@ import jax
 import jax.numpy as jnp
 
 
+def noise_key(seed: int = 0) -> jax.Array:
+    """The canonical VCD noise key: the SAME derivation
+    engine/baselines.vcd_generate uses internally (split(key(seed))[0]),
+    exposed so every CLI arm — llava-1.5 (via vcd_generate), llava-next,
+    instructblip, serial and batched — noises from one convention
+    (ADVICE r3: the families used to differ for no documented reason,
+    inviting a refactor to silently break one family's serial/batched
+    parity)."""
+    return jax.random.split(jax.random.key(seed))[0]
+
+
 def diffusion_noise(key: jax.Array, pixel_values: jax.Array, noise_step: int) -> jax.Array:
     """q(x_t | x_0) forward-diffusion sample at step t.
 

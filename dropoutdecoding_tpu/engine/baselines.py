@@ -45,6 +45,15 @@ def vcd_generate(
     B=1 call would use (per-row vmap with a shared key), so a batched run
     is token-identical to running each image serially — the batched
     `--batch-size` CHAIR path relies on this.
+
+    JAX-version dependency (ADVICE r3): that identity leans on JAX's
+    current threefry semantics — random bits depend only on the FLAT
+    element count, so a (1, N) draw equals an (N,) draw.  A JAX upgrade
+    that changes key derivation (as ``jax_threefry_partitionable`` once
+    did) would break batched==serial at runtime without touching any
+    shape; the parity tests (tests/test_baselines.py,
+    tests/test_chair_cli_end_to_end.py batched-vcd) are the guard — if
+    they fail right after a JAX bump, look here first.
     """
     gen = engine.gen
     key = jax.random.key(seed)
@@ -175,6 +184,15 @@ def beam_generate(
     - True: nb hypotheses stored;
     - "never": normalized at max length when length_penalty > 0, else at
       the current length (HF's exact rule).
+
+    Known divergence (documented per ADVICE r3): the FIRST expansion
+    takes the top-nb prompt-logit tokens directly; HF scans the top 2*nb
+    and would divert an EOS candidate with rank < nb into a stored
+    hypothesis at step 1.  Reachable only when the model's single most
+    likely continuation of the PROMPT is EOS-or-near-EOS (an empty
+    caption) — not a captioning regime; every multi-step path is
+    HF-exact (pinned across length_penalty x early_stopping grids in
+    tests/test_baselines.py).
     """
     if early_stopping not in (False, True, "never"):
         raise ValueError(

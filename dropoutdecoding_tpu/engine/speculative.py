@@ -136,6 +136,110 @@ class SpeculativeGreedy:
         return tcache, dcache, new_cur, new_token, g, n_acc
 
     # ------------------------------------------------------------------
+    def _generate_fused_impl(self, params, draft_lm, tcache, dcache,
+                             cur_len, token):
+        """WHOLE-generation speculative program: every spec cycle runs
+        inside ONE `lax.while_loop` dispatch, like the greedy engine's
+        whole-decode program.
+
+        Round-3's per-cycle host loop paid a dispatch + host fetch per
+        cycle (~25-30 ms over the axon tunnel against ~40 ms of device
+        time — the measured 30.5 t/s draft==target bound was
+        machinery-bound, round-4 verdict item 5); here the tunnel cost is
+        paid once per generation.  Token-identical to `generate`
+        (tested): acceptance, EOS handling, and cache movement are the
+        same math, only the host/device boundary moved.
+        """
+        eng = self.engine
+        G = self.gamma
+        T = eng.gen.max_new_tokens
+        eos = eng.gen.eos_token_id
+        pad = eng.gen.pad_token_id
+
+        def cycle(carry):
+            (tcache, dcache, cur, tok, buf, n_out, done, iters) = carry
+            tcache, dcache, new_cur, new_tok, g, n_acc = self._cycle_body(
+                params, draft_lm, tcache, dcache, cur, tok
+            )
+            # tokens emitted this cycle: g[0..n_acc] (n_acc+1 of them),
+            # truncated at the first EOS inside the accepted prefix
+            idx = jnp.arange(G + 1)
+            valid = idx <= n_acc
+            is_eos = valid & (g == eos)
+            first_eos = jnp.min(jnp.where(is_eos, idx, G + 1))
+            n_adv = jnp.minimum(n_acc + 1, first_eos + 1)
+            hit_eos = jnp.any(is_eos)
+
+            # write all G+1 candidates at n_out; only n_adv of them are
+            # kept (the next cycle's write overwrites the tail)
+            emit = jnp.where(idx < n_adv, g, pad)
+            buf = jax.lax.dynamic_update_slice(buf, emit, (n_out,))
+            n_out2 = n_out + n_adv
+            # the caller prepends the prefill argmax: T-1 emitted tokens
+            # fill the generation budget
+            done2 = done | hit_eos | (n_out2 >= T - 1)
+            # when EOS cut the prefix short, the resume token/cur must
+            # follow the EMITTED prefix, not the full acceptance
+            cur2 = cur + n_adv
+            tok2 = g[jnp.minimum(n_adv, G)][None]
+            cur2 = jnp.where(hit_eos, cur2, new_cur)
+            tok2 = jnp.where(hit_eos, tok2, new_tok)
+            return (tcache, dcache, cur2, tok2, buf, n_out2, done2,
+                    iters + 1)
+
+        def cond(carry):
+            done, iters = carry[6], carry[7]
+            return ~done & (iters < T)
+
+        buf = jnp.full((T + G + 1,), pad, jnp.int32)
+        # slot 0: the prefill's first token (already emitted by the caller)
+        carry = (tcache, dcache, cur_len, token, buf, jnp.int32(0),
+                 jnp.zeros((), bool), jnp.int32(0))
+        carry = jax.lax.while_loop(cond, cycle, carry)
+        buf, n_out, iters = carry[4], carry[5], carry[7]
+        return buf[:T], jnp.minimum(n_out, T), iters
+
+    def _cycle_body(self, params, draft_lm, tcache, dcache, cur_len, token):
+        """The in-program cycle math shared by _cycle_impl (per-cycle
+        dispatch, keeps acceptance stats visible to the host) and
+        _generate_fused_impl (whole-generation dispatch): same trace,
+        different host/device boundary."""
+        return self._cycle_impl(
+            params, draft_lm, tcache, dcache, cur_len, token
+        )
+
+    def generate_fused(self, input_ids, *rest):
+        """Greedy generation through the whole-generation speculative
+        program (ONE device dispatch after prefill).  Returns
+        (tokens [T'], cycles) — per-cycle acceptance stats live in
+        `generate`; this is the deployment path."""
+        eng = self.engine
+        state = eng.prefill(input_ids, *rest)
+        dcache = self._draft_prefill(
+            eng.params, self.draft_lm, jnp.asarray(input_ids), *rest
+        )
+        first = int(np.asarray(state.first_token)[0])
+        T = eng.gen.max_new_tokens
+        eos = eng.gen.eos_token_id
+        if T == 1 or first == eos:
+            return np.asarray([first], np.int32), 0
+        if not hasattr(self, "_fused"):
+            self._fused = jax.jit(
+                self._generate_fused_impl, donate_argnums=(2, 3)
+            )
+        # the fused program emits from the token AFTER the prefill argmax
+        buf, n_out, iters = self._fused(
+            eng.params, self.draft_lm, state.cache, dcache,
+            state.cur_len, state.first_token,
+        )
+        buf = np.asarray(buf)[: max(int(np.asarray(n_out)), 0)]
+        out = np.concatenate([[first], buf])[:T].astype(np.int32)
+        # truncate at eos like the engine's harvest
+        hits = np.where(out == eos)[0]
+        if hits.size:
+            out = out[: hits[0] + 1]
+        return out, int(np.asarray(iters))
+
     def generate(self, input_ids, *rest):
         """Greedy generation, token-identical to ``engine.generate`` on
         the same inputs (exactness is the point; tested).  Returns

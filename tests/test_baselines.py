@@ -1,6 +1,7 @@
 """Baseline samplers: beam search and VCD (reference vcd_sample.py /
 chair_test.py:295-334 beam path)."""
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 from dropoutdecoding_tpu.engine.baselines import beam_generate, vcd_generate
 from dropoutdecoding_tpu.engine.generate import LlavaEngine
 from dropoutdecoding_tpu.utils.config import GenerationConfig
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 def _engine(cfg, params, **kw):

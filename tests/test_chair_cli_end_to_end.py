@@ -12,6 +12,8 @@ from PIL import Image
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 @pytest.fixture
 def synthetic_coco(tmp_path):

@@ -14,6 +14,8 @@ from dropoutdecoding_tpu.engine.generate import LlavaEngine
 from dropoutdecoding_tpu.engine.serving import DecodeServer
 from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 def _engine(cfg, params, **kw):
     defaults = dict(

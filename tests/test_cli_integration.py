@@ -12,6 +12,8 @@ from dropoutdecoding_tpu.cli.pope_test import refresh_questions
 from dropoutdecoding_tpu.evalsuite.coco import Coco
 from dropoutdecoding_tpu.evalsuite.metrics.evalcap import chunked_self_critical_eval
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 @pytest.fixture
 def coco_dir(tmp_path):

@@ -21,6 +21,8 @@ from dropoutdecoding_tpu.utils.config import (
 )
 from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 def _engine(cfg, params, **kw):
     defaults = dict(

@@ -2,10 +2,14 @@
 paired-arm flow (dual towers, exact-K ensembles, greedy arms, reseed
 floor, winner TV) runs end-to-end on a tiny dual model and reports sane
 fields.  The 7B-shape numbers themselves are a TPU measurement."""
+import pytest
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 def test_int4prod_study_tiny(monkeypatch):

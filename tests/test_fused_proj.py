@@ -18,6 +18,8 @@ from dropoutdecoding_tpu.utils.quantize import (
     quantize_llama_params_int4,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 CFG = LlamaConfig(
     vocab_size=128,
     hidden_size=64,

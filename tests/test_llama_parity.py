@@ -10,6 +10,8 @@ from dropoutdecoding_tpu.models import llama
 from dropoutdecoding_tpu.utils.config import LlamaConfig
 from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 def make_tiny_hf_llama(seed=0, num_kv_heads=4):
     from transformers import LlamaConfig as HFLlamaConfig

@@ -16,6 +16,8 @@ from dropoutdecoding_tpu.utils.config import (
 )
 from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 PINPOINTS = [[28, 56], [56, 28], [56, 56]]
 
 

@@ -34,9 +34,12 @@ from dropoutdecoding_tpu.utils.config import (
     LlavaConfig,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+    ),
+    pytest.mark.slow,  # excluded from the fast core gate (docs/TESTS.md)
+]
 
 
 def _cfg(vocab=128, n_layers=2, hidden=128, n_heads=8, n_kv=4):

@@ -16,6 +16,8 @@ import pytest
 
 from dropoutdecoding_tpu.decoding.opera import overtrust_phi, rollback_trigger
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 # ---------------------------------------------------------------------------
 # pure math, hand-computed

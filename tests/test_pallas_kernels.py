@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 @pytest.fixture(autouse=True)
 def _interpret_pallas(monkeypatch):

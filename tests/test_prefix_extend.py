@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from dropoutdecoding_tpu.models import llama
 from dropoutdecoding_tpu.utils.config import LlamaConfig
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 @pytest.fixture(scope="module")
 def tower():

@@ -13,6 +13,8 @@ from dropoutdecoding_tpu.utils.processor import (
     LlavaNextImagePreprocessor,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 def _img(rng, h, w):
     return Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8), "RGB")

@@ -1,4 +1,6 @@
 """Weight-only int8 quantization (utils/quantize.py)."""
+import pytest
+
 import numpy as np
 
 import jax
@@ -11,6 +13,8 @@ from dropoutdecoding_tpu.utils.quantize import (
     quantize_llama_params,
     quantize_matrix,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 def test_quantize_roundtrip_error_bounded(rng):

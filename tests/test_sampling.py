@@ -27,6 +27,8 @@ from dropoutdecoding_tpu.utils.config import (
     GenerationConfig,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
+
 
 def _engine(cfg, params, **kw):
     defaults = dict(

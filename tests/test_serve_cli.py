@@ -1,5 +1,7 @@
 """CaptionService end-to-end with a tiny engine (threaded worker +
 DecodeServer), without HTTP."""
+import pytest
+
 import numpy as np
 from PIL import Image
 
@@ -8,6 +10,8 @@ import jax.numpy as jnp
 from dropoutdecoding_tpu.cli.serve import CaptionService
 from dropoutdecoding_tpu.engine.generate import LlavaEngine
 from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 class _TinyProcessor:

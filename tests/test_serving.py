@@ -1,12 +1,15 @@
 """Continuous-batching server: outputs must equal per-request engine
 generation even with staggered submission (requests joining mid-flight)."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
 from dropoutdecoding_tpu.engine.generate import LlavaEngine
 from dropoutdecoding_tpu.engine.serving import DecodeServer
 from dropoutdecoding_tpu.utils.config import EnsembleConfig, GenerationConfig
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 def _engine(cfg, params, **kw):

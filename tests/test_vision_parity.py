@@ -1,5 +1,7 @@
 """CLIP vision tower + projector + merge parity vs HF tiny models
 (reference llava.py:233-250 pipeline)."""
+import pytest
+
 import numpy as np
 import torch
 
@@ -8,6 +10,8 @@ import jax.numpy as jnp
 from dropoutdecoding_tpu.models import clip_vit, llava, projector
 from dropoutdecoding_tpu.utils.config import ClipVisionConfig, LlamaConfig, LlavaConfig
 from dropoutdecoding_tpu.utils.hf_io import state_dict_from_torch_module
+
+pytestmark = pytest.mark.slow  # excluded from the fast core gate (docs/TESTS.md)
 
 
 def make_tiny_hf_clip(seed=0):
