@@ -193,29 +193,48 @@ def make_engine(args):
             **common,
         )
         if spec_gamma:
-            # int4 self-draft quantized from the SAME loaded weights
-            # (greedy acceptance => output identical to plain greedy;
-            # engine/speculative.py)
             from ..engine.speculative import SpeculativeGreedy
-            from ..utils.quantize import quantize_llama_params_int4
 
-            engine._spec = SpeculativeGreedy(
-                engine=engine,
-                draft_lm=quantize_llama_params_int4(raw_lm),
-                gamma=int(spec_gamma),
-            )
             import sys as _sys
 
-            print(
-                "--spec-gamma note: output is exactly the greedy "
-                "sequence; SPEED depends on the int4 self-draft's "
-                "acceptance rate (alpha).  Trained checkpoints sit at "
-                "the literature's 0.7-0.9 (projected ~1.3-1.5x greedy); "
-                "on uncorrelated/random weights alpha~0 and speculation "
-                "LOSES to plain --original (STATUS.md, "
-                "cli/spec_bench.py).",
-                file=_sys.stderr,
-            )
+            draft_mode = getattr(args, "spec_draft", "int4") or "int4"
+            if draft_mode == "ngram":
+                # prompt-lookup draft: zero extra weight streams — any
+                # positive bigram-repeat acceptance is a net win, zero
+                # acceptance degenerates to greedy speed
+                engine._spec = SpeculativeGreedy(
+                    engine=engine, draft_lm=None,
+                    gamma=int(spec_gamma), draft="ngram",
+                )
+                print(
+                    "--spec-draft ngram note: output is exactly the "
+                    "greedy sequence; speed scales with how often the "
+                    "output repeats its own bigrams (measured win on "
+                    "repetitive decode, see STATUS.md / "
+                    "cli/spec_bench.py).",
+                    file=_sys.stderr,
+                )
+            else:
+                # int4 self-draft quantized from the SAME loaded weights
+                # (greedy acceptance => output identical to plain
+                # greedy; engine/speculative.py)
+                from ..utils.quantize import quantize_llama_params_int4
+
+                engine._spec = SpeculativeGreedy(
+                    engine=engine,
+                    draft_lm=quantize_llama_params_int4(raw_lm),
+                    gamma=int(spec_gamma),
+                )
+                print(
+                    "--spec-gamma note: output is exactly the greedy "
+                    "sequence; SPEED depends on the int4 self-draft's "
+                    "acceptance rate (alpha).  Trained checkpoints sit "
+                    "at the literature's 0.7-0.9 (projected ~1.3-1.5x "
+                    "greedy); on uncorrelated/random weights alpha~0 "
+                    "and speculation LOSES to plain --original "
+                    "(STATUS.md, cli/spec_bench.py).",
+                    file=_sys.stderr,
+                )
     elif model == "instructblip":
         from ..engine.instructblip_engine import InstructBlipEngine
         from ..models import instructblip as ib_mod
@@ -881,10 +900,21 @@ def build_parser():
         type=int,
         default=None,
         help="speculative greedy decoding for --original runs (llava-1.5, "
-        "dense KV): draft N tokens per cycle with an int4 self-draft of "
-        "the same weights, verify in one target forward — output is "
+        "dense KV): draft N tokens per cycle (--spec-draft picks the "
+        "source), verify in one target forward — output is "
         "token-identical to plain greedy (engine/speculative.py; "
         "acceptance-dependent speedup, see STATUS.md)",
+    )
+    p.add_argument(
+        "--spec-draft",
+        choices=["int4", "ngram"],
+        default="int4",
+        help="draft source for --spec-gamma: 'int4' = int4 self-draft of "
+        "the same weights (gamma extra int4 weight streams per cycle; "
+        "wins at trained-checkpoint acceptance); 'ngram' = prompt-lookup "
+        "drafting from the emitted sequence's own bigram repeats (zero "
+        "extra weight streams — never slower than greedy by more than "
+        "the G+1-wide verify, wins on repetitive output)",
     )
     p.add_argument(
         "--fuse-proj",

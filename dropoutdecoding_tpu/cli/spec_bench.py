@@ -53,7 +53,9 @@ def main(argv=None):
         params=p8,
         ens=EnsembleConfig(),
         gen=GenerationConfig(max_new_tokens=T, eos_token_id=-1, pad_token_id=0),
-        max_len=608 + T,
+        # speculative verify appends gamma rows past prompt+T
+        # (SpeculativeGreedy._check_headroom)
+        max_len=608 + T + max(args.gammas) + 1,
         ensemble=False,  # greedy target; DENSE KV (spec reads the prefix)
         seed=24,
     )
@@ -170,10 +172,55 @@ def main(argv=None):
             tps_wall=round(tps, 2), tps_dispatch_corrected=round(tps_dev, 2),
         )
 
+    def run_ngram(gamma):
+        """Prompt-lookup drafting (draft='ngram'): zero draft weight
+        streams; host loop for alpha stats + the fused single-dispatch
+        program for the deployment rate."""
+        spec = SpeculativeGreedy(engine=eng, draft_lm=None, gamma=gamma,
+                                 draft="ngram")
+        spec.generate(*prompts[0])  # warm (verify program)
+        stats = []
+        for ids, px in prompts:
+            tokens, cycles, accepted = spec.generate(ids, px)
+            stats.append((len(tokens), cycles, accepted))
+        n_tok = sum(s[0] for s in stats)
+        n_cyc = sum(s[1] for s in stats)
+        alpha = sum(s[2] for s in stats) / max(n_cyc * gamma, 1)
+
+        spec.generate_fused(*prompts[0])  # warm (fused program)
+        import jax.numpy as jnp
+        wall = 0.0
+        fus_tok = 0
+        for ids, px in prompts:
+            st = eng.prefill(ids, px)
+            first = int(np.asarray(st.first_token)[0])
+            buf0 = jnp.full((T + gamma + 1,), 0, jnp.int32).at[0].set(first)
+            t0 = time.perf_counter()
+            buf, n_out, iters = spec._fused_ng(
+                eng.params, st.cache, st.cur_len, st.first_token, buf0
+            )
+            n = int(np.asarray(n_out))
+            wall += time.perf_counter() - t0
+            fus_tok += n
+        tps = fus_tok / max(wall - len(prompts) * min(rtt, wall / 2), 1e-9)
+        print(
+            f"ngram-draft gamma={gamma} FUSED: {tps:.1f} t/s "
+            f"(alpha={alpha:.3f}, {n_tok / max(n_cyc, 1):.2f} tok/cycle, "
+            f"{tps / greedy_tps:.2f}x greedy)",
+            file=sys.stderr, flush=True,
+        )
+        return dict(
+            label="ngram-draft-fused", gamma=gamma, alpha=round(alpha, 4),
+            tok_per_cycle=round(n_tok / max(n_cyc, 1), 3),
+            tps_wall=round(tps, 2),
+            vs_greedy=round(tps / greedy_tps, 3),
+        )
+
     results = []
     for g in args.gammas:
         results.append(run_spec(p4.lm, g, "int4-draft"))
         results.append(run_fused(p4.lm, g, "int4-draft"))
+        results.append(run_ngram(g))
     results.append(run_spec(p8.lm, args.gammas[0], "target-draft(alpha=1)"))
     results.append(run_fused(p8.lm, args.gammas[0], "target-draft(alpha=1)"))
 

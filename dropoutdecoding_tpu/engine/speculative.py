@@ -31,6 +31,21 @@ Works on dense AND int8-KV engines: the verify extend reads the
 quantized prefix directly (ops.attention.extend_attention_int8prefix)
 and the block append quantizes per row, bit-identical to the engine's
 sequential appends.
+
+Two draft sources (``draft=``):
+
+- ``"lm"``: a draft LM tower of the same architecture (the int4
+  self-draft).  Cycle cost = gamma draft streams + one verify stream;
+  wins only when acceptance outruns the draft's weight traffic.
+- ``"ngram"``: prompt-lookup drafting (the vLLM "ngram" speculator /
+  LLMA): match the last bigram of the emitted sequence against its own
+  history and propose the tokens that followed last time.  The draft is
+  pure data movement — ZERO extra weight streams — so cycle cost is one
+  verify stream (== one greedy decode stream at B=1, where weights
+  dominate), and ANY positive acceptance is a net win; zero acceptance
+  degenerates to greedy speed.  Output is still exactly target-greedy.
+  Wins on workloads whose output repeats n-grams (greedy captioning
+  loops, extraction/echo, code); measured on-chip in cli/spec_bench.py.
 """
 from __future__ import annotations
 
@@ -57,8 +72,9 @@ class SpeculativeGreedy:
     """
 
     engine: Any
-    draft_lm: dict
+    draft_lm: dict | None
     gamma: int = 4
+    draft: str = "lm"  # "lm" (draft tower) | "ngram" (prompt lookup)
 
     def __post_init__(self):
         if getattr(self.engine, "ensemble", True):
@@ -66,8 +82,16 @@ class SpeculativeGreedy:
                 "speculative decoding accelerates the GREEDY baseline "
                 "(--original); build the engine with ensemble=False"
             )
-        self._cycle = jax.jit(self._cycle_impl, donate_argnums=(2, 3))
-        self._draft_prefill = jax.jit(self._draft_prefill_impl)
+        if self.draft not in ("lm", "ngram"):
+            raise ValueError(f"draft must be 'lm' or 'ngram': {self.draft}")
+        if self.draft == "lm" and self.draft_lm is None:
+            raise ValueError("draft='lm' needs a draft_lm tower")
+        if self.draft == "lm":
+            self._cycle = jax.jit(self._cycle_impl, donate_argnums=(2, 3))
+            self._draft_prefill = jax.jit(self._draft_prefill_impl)
+        else:
+            self._verify = jax.jit(self._verify_cycle_impl,
+                                   donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     def _draft_prefill_impl(self, params, draft_lm, ids, *rest):
@@ -112,6 +136,23 @@ class SpeculativeGreedy:
         )
         drafts = drafts[:, 0]  # [G]
 
+        tcache, g, n_acc = self._verify_body(
+            params, tcache, cur_len, token, drafts
+        )
+        new_cur = cur_len + n_acc + 1
+        new_token = g[n_acc][None]
+        return tcache, dcache, new_cur, new_token, g, n_acc
+
+    def _verify_body(self, params, tcache, cur_len, token, drafts):
+        """ONE target forward over [token, d_1..d_gamma] (prefill_extend
+        over the masked shared cache) + longest-matching-prefix
+        acceptance.  Shared by both draft sources — the draft only
+        chooses the candidate tokens."""
+        eng = self.engine
+        cfg = eng.cfg
+        G = self.gamma
+        Smax = eng.max_len
+
         toks = jnp.concatenate([token, drafts])[None]  # [1, G+1]
         emb = llama_mod.embed(params.lm, toks)
         positions = cur_len[:, None] + jnp.arange(G + 1)[None]
@@ -131,9 +172,17 @@ class SpeculativeGreedy:
         # int8 caches quantize per row, so the block write is
         # bit-identical to the engine's sequential appends.
         tcache = llama_mod.cache_write_span(tcache, cur_len[0], kv_new)
+        return tcache, g, n_acc
+
+    def _verify_cycle_impl(self, params, tcache, cur_len, token, drafts):
+        """Verify-only cycle for externally supplied drafts (the ngram
+        host loop): same math as _cycle_impl minus the draft scan."""
+        tcache, g, n_acc = self._verify_body(
+            params, tcache, cur_len, token, drafts
+        )
         new_cur = cur_len + n_acc + 1
         new_token = g[n_acc][None]
-        return tcache, dcache, new_cur, new_token, g, n_acc
+        return tcache, new_cur, new_token, g, n_acc
 
     # ------------------------------------------------------------------
     def _generate_fused_impl(self, params, draft_lm, tcache, dcache,
@@ -208,6 +257,108 @@ class SpeculativeGreedy:
             params, draft_lm, tcache, dcache, cur_len, token
         )
 
+    # ------------------------------------------------------------------
+    # ngram (prompt-lookup) draft: pure data movement, zero weight streams
+    def _ngram_drafts(self, buf, n, token):
+        """Propose G tokens by matching the emitted sequence's last
+        bigram against its own history (most recent match wins — greedy
+        loops repeat their latest cycle) and replaying what followed.
+        ``buf`` [BUF] holds the n emitted tokens (slot 0 = the prefill
+        argmax); entries >= n are pad.  Falls back to repeating the
+        current token when no bigram match exists (n < 3 included)."""
+        G = self.gamma
+        BUF = buf.shape[0]
+        idx = jnp.arange(BUF)
+        prev = buf[jnp.maximum(n - 2, 0)]
+        cur = token[0]
+        nxt = jnp.concatenate([buf[1:], jnp.full((1,), -1, buf.dtype)])
+        m = (buf == prev) & (nxt == cur) & (idx < n - 2)
+        i_star = jnp.max(jnp.where(m, idx, -1))
+        found = jax.lax.dynamic_slice(
+            buf, (jnp.maximum(i_star, 0) + 2,), (G,)
+        )
+        return jnp.where(i_star >= 0, found, jnp.full((G,), cur, buf.dtype))
+
+    @staticmethod
+    def ngram_propose_np(hist, gamma, pad):
+        """Host mirror of _ngram_drafts for the stats-keeping host loop
+        (`generate`).  ``hist`` = list/array of emitted tokens."""
+        hist = list(hist)
+        n = len(hist)
+        if n >= 3:
+            prev, cur = hist[-2], hist[-1]
+            for i in range(n - 3, -1, -1):
+                if hist[i] == prev and hist[i + 1] == cur:
+                    cont = hist[i + 2 : i + 2 + gamma]
+                    out = np.full((gamma,), pad, np.int32)
+                    out[: len(cont)] = cont
+                    return out
+        return np.full((gamma,), hist[-1] if n else pad, np.int32)
+
+    def _generate_fused_ngram_impl(self, params, tcache, cur_len, token,
+                                   buf):
+        """Whole-generation ngram-speculative program: ONE while_loop
+        dispatch; each cycle proposes from the emitted buffer (zero
+        weight cost) and runs one verify extend.  ``buf`` arrives with
+        the prefill argmax in slot 0; token identity with the greedy
+        engine is the acceptance guarantee (tested)."""
+        eng = self.engine
+        G = self.gamma
+        T = eng.gen.max_new_tokens
+        eos = eng.gen.eos_token_id
+        pad = eng.gen.pad_token_id
+
+        def cycle(carry):
+            (tcache, cur, tok, buf, n_out, done, iters) = carry
+            drafts = self._ngram_drafts(buf, n_out, tok)
+            tcache, g, n_acc = self._verify_body(
+                params, tcache, cur, tok, drafts
+            )
+            new_cur = cur + n_acc + 1
+            new_tok = g[n_acc][None]
+
+            idx = jnp.arange(G + 1)
+            valid = idx <= n_acc
+            is_eos = valid & (g == eos)
+            first_eos = jnp.min(jnp.where(is_eos, idx, G + 1))
+            n_adv = jnp.minimum(n_acc + 1, first_eos + 1)
+            hit_eos = jnp.any(is_eos)
+
+            emit = jnp.where(idx < n_adv, g, pad)
+            buf = jax.lax.dynamic_update_slice(buf, emit, (n_out,))
+            n_out2 = n_out + n_adv
+            done2 = done | hit_eos | (n_out2 >= T)
+            cur2 = cur + n_adv
+            tok2 = g[jnp.minimum(n_adv, G)][None]
+            cur2 = jnp.where(hit_eos, cur2, new_cur)
+            tok2 = jnp.where(hit_eos, tok2, new_tok)
+            return (tcache, cur2, tok2, buf, n_out2, done2, iters + 1)
+
+        def cond(carry):
+            done, iters = carry[5], carry[6]
+            return ~done & (iters < T)
+
+        carry = (tcache, cur_len, token, buf, jnp.int32(1),
+                 jnp.zeros((), bool), jnp.int32(0))
+        carry = jax.lax.while_loop(cond, cycle, carry)
+        buf, n_out, iters = carry[3], carry[4], carry[6]
+        return buf, jnp.minimum(n_out, T), iters
+
+    def _check_headroom(self, state):
+        """The verify appends G+1 KV rows at the current position: the
+        cache needs ``gamma`` rows past prompt + max_new_tokens, or the
+        final cycles' (clamped) block write would corrupt earlier rows
+        while the loop is still running."""
+        eng = self.engine
+        need = int(np.asarray(state.cur_len)[0]) + eng.gen.max_new_tokens \
+            + self.gamma
+        if need > eng.max_len:
+            raise ValueError(
+                f"engine max_len={eng.max_len} lacks speculative headroom: "
+                f"needs prompt+max_new_tokens+gamma={need} rows "
+                f"(build the engine with max_len >= that)"
+            )
+
     def generate_fused(self, input_ids, *rest):
         """Greedy generation through the whole-generation speculative
         program (ONE device dispatch after prefill).  Returns
@@ -215,25 +366,42 @@ class SpeculativeGreedy:
         `generate`; this is the deployment path."""
         eng = self.engine
         state = eng.prefill(input_ids, *rest)
-        dcache = self._draft_prefill(
-            eng.params, self.draft_lm, jnp.asarray(input_ids), *rest
-        )
+        self._check_headroom(state)
         first = int(np.asarray(state.first_token)[0])
         T = eng.gen.max_new_tokens
         eos = eng.gen.eos_token_id
+        pad = eng.gen.pad_token_id
         if T == 1 or first == eos:
             return np.asarray([first], np.int32), 0
-        if not hasattr(self, "_fused"):
-            self._fused = jax.jit(
-                self._generate_fused_impl, donate_argnums=(2, 3)
+        if self.draft == "ngram":
+            if not hasattr(self, "_fused_ng"):
+                self._fused_ng = jax.jit(
+                    self._generate_fused_ngram_impl, donate_argnums=(1, 4)
+                )
+            buf0 = jnp.full((T + self.gamma + 1,), pad, jnp.int32)
+            buf0 = buf0.at[0].set(first)
+            buf, n_out, iters = self._fused_ng(
+                eng.params, state.cache, state.cur_len,
+                state.first_token, buf0,
             )
-        # the fused program emits from the token AFTER the prefill argmax
-        buf, n_out, iters = self._fused(
-            eng.params, self.draft_lm, state.cache, dcache,
-            state.cur_len, state.first_token,
-        )
-        buf = np.asarray(buf)[: max(int(np.asarray(n_out)), 0)]
-        out = np.concatenate([[first], buf])[:T].astype(np.int32)
+            out = np.asarray(buf)[: max(int(np.asarray(n_out)), 1)]
+            out = out[:T].astype(np.int32)
+        else:
+            dcache = self._draft_prefill(
+                eng.params, self.draft_lm, jnp.asarray(input_ids), *rest
+            )
+            if not hasattr(self, "_fused"):
+                self._fused = jax.jit(
+                    self._generate_fused_impl, donate_argnums=(2, 3)
+                )
+            # the fused program emits from the token AFTER the prefill
+            # argmax
+            buf, n_out, iters = self._fused(
+                eng.params, self.draft_lm, state.cache, dcache,
+                state.cur_len, state.first_token,
+            )
+            buf = np.asarray(buf)[: max(int(np.asarray(n_out)), 0)]
+            out = np.concatenate([[first], buf])[:T].astype(np.int32)
         # truncate at eos like the engine's harvest
         hits = np.where(out == eos)[0]
         if hits.size:
@@ -247,9 +415,12 @@ class SpeculativeGreedy:
         bench's alpha report."""
         eng = self.engine
         state = eng.prefill(input_ids, *rest)
-        dcache = self._draft_prefill(
-            eng.params, self.draft_lm, jnp.asarray(input_ids), *rest
-        )
+        self._check_headroom(state)
+        ngram = self.draft == "ngram"
+        if not ngram:
+            dcache = self._draft_prefill(
+                eng.params, self.draft_lm, jnp.asarray(input_ids), *rest
+            )
         tcache = state.cache
         cur = state.cur_len
         token = state.first_token
@@ -260,9 +431,17 @@ class SpeculativeGreedy:
         cycles = 0
         accepted = 0
         while len(out) < T and out[-1] != eos:
-            tcache, dcache, cur, token, g, n_acc = self._cycle(
-                eng.params, self.draft_lm, tcache, dcache, cur, token
-            )
+            if ngram:
+                drafts = self.ngram_propose_np(
+                    out, self.gamma, eng.gen.pad_token_id
+                )
+                tcache, cur, token, g, n_acc = self._verify(
+                    eng.params, tcache, cur, token, jnp.asarray(drafts)
+                )
+            else:
+                tcache, dcache, cur, token, g, n_acc = self._cycle(
+                    eng.params, self.draft_lm, tcache, dcache, cur, token
+                )
             n = int(np.asarray(n_acc))
             ems = np.asarray(g)[: n + 1]
             cycles += 1

@@ -320,6 +320,43 @@ def test_chair_cli_spec_gamma_matches_original(
     assert len(plain) == 4
 
 
+def test_chair_cli_spec_ngram_matches_original(
+    synthetic_coco, tmp_path, monkeypatch, tiny_llava
+):
+    """--spec-gamma with the ngram (prompt-lookup) draft: captions ==
+    plain --original through the CLI — greedy acceptance guarantees
+    token identity with zero draft weight streams."""
+    from dropoutdecoding_tpu.cli import chair_test as cli
+    from dropoutdecoding_tpu.engine.speculative import SpeculativeGreedy
+
+    _, cfg, params, _, _, _ = tiny_llava
+
+    def fake_plain(args):
+        return _mk_fake_engine(cfg, params, ensemble=False), _TinyProcessor(cfg)
+
+    def fake_spec(args):
+        eng = _mk_fake_engine(cfg, params, ensemble=False)
+        eng._spec = SpeculativeGreedy(
+            engine=eng, draft_lm=None, gamma=3, draft="ngram"
+        )
+        return eng, _TinyProcessor(cfg)
+
+    d1 = tmp_path / "plain"
+    d2 = tmp_path / "spec"
+    d1.mkdir(); d2.mkdir()
+    monkeypatch.setattr(cli, "make_engine", fake_plain)
+    monkeypatch.chdir(d1)
+    plain = _run_cli(cli, synthetic_coco, d1, ["--original", "True"])
+    monkeypatch.setattr(cli, "make_engine", fake_spec)
+    monkeypatch.chdir(d2)
+    spec = _run_cli(
+        cli, synthetic_coco, d2,
+        ["--original", "True", "--spec-gamma", "3", "--spec-draft", "ngram"],
+    )
+    assert plain == spec
+    assert len(plain) == 4
+
+
 def test_chair_cli_opera_end_to_end(
     synthetic_coco, tmp_path, monkeypatch, tiny_llava
 ):
