@@ -68,7 +68,8 @@ def trace_op_table(log_dir: str, top: int = 25):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["llava16", "gqa8"], default="llava16")
+    ap.add_argument("--config", choices=["llava16", "gqa8", "int4"],
+                    default="llava16")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--tokens", type=int, default=16)
     ap.add_argument("--keep-trace", default=None,
@@ -92,11 +93,22 @@ def main():
         LlamaConfig,
         LlavaConfig,
     )
-    from dropoutdecoding_tpu.utils.synthetic import synthetic_int8_lm
+    from dropoutdecoding_tpu.utils.synthetic import (
+        synthetic_int4_lm,
+        synthetic_int8_lm,
+    )
 
     import jax.numpy as jnp
 
-    if args.config == "llava16":
+    if args.config == "int4":
+        # single-stream greedy decode over the packed-int4 tower (the
+        # bench "int4 greedy" line) — where does its 17 ms/token go?
+        cfg = LlavaConfig(
+            text=LlamaConfig(num_hidden_layers=args.layers),
+            vision=ClipVisionConfig(),
+        )
+        B, prompt = 1, PROMPT_LEN
+    elif args.config == "llava16":
         cfg = LlavaConfig(
             text=LlamaConfig(num_hidden_layers=args.layers),
             vision=ClipVisionConfig(),
@@ -113,7 +125,10 @@ def main():
         )
         B, prompt = 8, cfg.vision.num_patches + 28
 
-    lm = synthetic_int8_lm(cfg.text, jax.random.key(0))
+    if args.config == "int4":
+        lm = synthetic_int4_lm(cfg.text, jax.random.key(0))
+    else:
+        lm = synthetic_int8_lm(cfg.text, jax.random.key(0))
     if args.fuse_proj:
         from dropoutdecoding_tpu.utils.quantize import fuse_projections
 
@@ -127,11 +142,12 @@ def main():
     eng = LlavaEngine(
         cfg=cfg,
         params=params,
-        ens=EnsembleConfig(voting_probs=K8_PROBS, fused_step=True),
+        ens=(EnsembleConfig() if args.config == "int4"
+             else EnsembleConfig(voting_probs=K8_PROBS, fused_step=True)),
         gen=GenerationConfig(max_new_tokens=args.tokens, eos_token_id=-1,
                              pad_token_id=0),
         max_len=prompt + args.tokens,
-        ensemble=True,
+        ensemble=args.config != "int4",
         seed=24,
         int8_kv=True,
         w8a8_decode=args.w8a8_decode,

@@ -408,6 +408,89 @@ def _mm_int4(x: jax.Array, w: dict, preferred=None) -> jax.Array:
     return jax.lax.platform_dependent(x, tpu=_pallas, default=_xla)
 
 
+class _LayeredInt4:
+    """Sentinel standing in for a packed-int4 weight leaf inside a scanned
+    layer dict.  The real [L, ...] stack stays OUT of the scan (closed
+    over) and ``_layered_mm`` resolves the sentinel to a layer-indexed
+    matmul on the full stack: scan-slicing an int4 leaf would materialize
+    a per-layer copy of the packed bytes at every ``pallas_call`` boundary
+    (XLA cannot fuse a dynamic-slice into a custom call) — profiled at
+    4.6 ms/step of pure copy at 7B int4 decode, i.e. the whole weight
+    stream moved twice."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+# Test hook: the CPU suite runs an 8-device virtual mesh, which would
+# otherwise never trace the layered-int4 restructure (it is gated to
+# single-device execution, like the layered attention kernels).  Tests
+# monkeypatch this to pin layered == scan-sliced numerics off-TPU.
+FORCE_LAYERED_INT4 = False
+
+
+def _layered_int4_enabled() -> bool:
+    return jax.device_count() == 1 or FORCE_LAYERED_INT4
+
+
+def _split_int4_stacks(layers: dict):
+    """(rest, stacks): packed-int4 weight stacks pulled out of the layer
+    pytree for layered dispatch; ``rest`` keeps everything else (dense /
+    int8 leaves scan-slice fine — their consumers are XLA ops the slice
+    fuses into)."""
+    stacks = {
+        k: v for k, v in layers.items() if isinstance(v, dict) and "q4" in v
+    }
+    rest = {k: v for k, v in layers.items() if k not in stacks}
+    return rest, stacks
+
+
+def _mm_int4_layered(li, x, stack, preferred=None):
+    """x @ W[li] over a full [L, D/2, E] packed-int4 stack.  TPU: the
+    scalar-prefetch Pallas kernel (ops/pallas_int4_matmul.int4_matmul_
+    layered) reads layer li's blocks straight out of HBM.  Other
+    backends: dynamic-index (fuses in XLA) + the portable half-split
+    form — identical numerics to the scan-sliced dispatch."""
+    q, s = stack["q4"], stack["s4"]
+
+    def _pallas(li, x):
+        from ..ops.pallas_int4_matmul import int4_matmul_layered
+
+        return int4_matmul_layered(
+            li, x, q, s, out_dtype=preferred or x.dtype
+        )
+
+    def _xla(li, x):
+        wl = {
+            "q4": jax.lax.dynamic_index_in_dim(q, li, 0, keepdims=False),
+            "s4": jax.lax.dynamic_index_in_dim(s, li, 0, keepdims=False),
+        }
+        return _mm_int4(x, wl, preferred=preferred)
+
+    return jax.lax.platform_dependent(li, x, tpu=_pallas, default=_xla)
+
+
+def _layered_mm(base_mm, stacks: dict, li):
+    """Wrap a matmul dispatcher so ``_LayeredInt4`` sentinels resolve to
+    layer-indexed matmuls on the closed-over stacks."""
+
+    def mm(x, w):
+        if isinstance(w, _LayeredInt4):
+            return _mm_int4_layered(li, x, stacks[w.name])
+        return base_mm(x, w)
+
+    return mm
+
+
+def _with_sentinels(lp: dict, stacks: dict) -> dict:
+    lp = dict(lp)
+    for k in stacks:
+        lp[k] = _LayeredInt4(k)
+    return lp
+
+
 def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][input_ids]
 
@@ -591,21 +674,37 @@ def _prefill_batched(
         return prefill_attention(q, k, v, causal=True, key_mask=key_mask)
 
     mm = _mm_w8a8 if w8a8 else _mm  # w8a8: int8-MXU projections (prefill only)
+    layers_rest, int4_stacks = (
+        _split_int4_stacks(params["layers"])
+        if _layered_int4_enabled()
+        else (params["layers"], {})
+    )
 
-    def layer(x, lp):
+    def layer(x, lp, mml):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
+        q, k, v = _qkv(lp, h, mml, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = _attend(q, k, v)
         attn = attn.reshape(B, S, H * Dh)
-        x = x + mm(attn, lp["o_proj"])
+        x = x + mml(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
-        x = x + _mlp(lp, h2, mm)
+        x = x + _mlp(lp, h2, mml)
         return x, (k, v)
 
+    def scanned(carry, xs):
+        lp, li = xs
+        if int4_stacks:
+            return layer(
+                carry,
+                _with_sentinels(lp, int4_stacks),
+                _layered_mm(mm, int4_stacks, li),
+            )
+        return layer(carry, lp, mm)
+
+    L = layers_rest["input_ln"].shape[0]
     x, (ks, vs) = jax.lax.scan(
-        lambda carry, lp: layer(carry, lp), inputs_embeds, params["layers"]
+        scanned, inputs_embeds, (layers_rest, jnp.arange(L, dtype=jnp.int32))
     )
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return hidden, KVCache(ks, vs)
@@ -652,11 +751,21 @@ def prefill_extend(
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     mm = _mm_w8a8 if w8a8 else _mm
     quantized_prefix = isinstance(prefix.k, dict)
+    layers_rest, int4_stacks = (
+        _split_int4_stacks(params["layers"])
+        if _layered_int4_enabled()
+        else (params["layers"], {})
+    )
 
     def layer(x, xs):
-        lp, pk, pv = xs
+        lp, li, pk, pv = xs
+        if int4_stacks:
+            lp = _with_sentinels(lp, int4_stacks)
+            mml = _layered_mm(mm, int4_stacks, li)
+        else:
+            mml = mm
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
+        q, k, v = _qkv(lp, h, mml, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if quantized_prefix:
@@ -669,12 +778,15 @@ def prefill_extend(
             )
         else:
             attn = extend_attention(q, k, v, pk, pv, prefix_mask)
-        x = x + mm(attn.reshape(B, T, H * Dh), lp["o_proj"])
+        x = x + mml(attn.reshape(B, T, H * Dh), lp["o_proj"])
         h2 = rms_norm(x, lp["post_attn_ln"], cfg.rms_norm_eps)
-        return x + _mlp(lp, h2, mm), (k, v)
+        return x + _mlp(lp, h2, mml), (k, v)
 
+    L = layers_rest["input_ln"].shape[0]
     x, (ks, vs) = jax.lax.scan(
-        layer, inputs_embeds, (params["layers"], prefix.k, prefix.v)
+        layer,
+        inputs_embeds,
+        (layers_rest, jnp.arange(L, dtype=jnp.int32), prefix.k, prefix.v),
     )
     return rms_norm(x, params["norm"], cfg.rms_norm_eps), KVCache(ks, vs)
 
@@ -876,32 +988,46 @@ def decode_step(
             )
 
     mm = _mm_w8a8 if w8a8 else _mm
+    # int4 towers on a single device dispatch their projections through
+    # the LAYERED Pallas matmul (full packed stack in HBM, scalar-prefetch
+    # layer indexing) instead of scan-sliced leaves — see _LayeredInt4.
+    layers_rest, int4_stacks = (
+        _split_int4_stacks(params["layers"])
+        if (single_device or FORCE_LAYERED_INT4)
+        else (params["layers"], {})
+    )
 
-    def _layer_math(lp, xc, attend):
+    def _layer_math(lp, xc, attend, mml=mm):
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, h, mm, H, KH, Dh)
+        q, k, v = _qkv(lp, h, mml, H, KH, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = attend(q, k, v).reshape(B, M, H * Dh)
-        xc = xc + mm(attn, lp["o_proj"])
+        xc = xc + mml(attn, lp["o_proj"])
         h2 = rms_norm(xc, lp["post_attn_ln"], cfg.rms_norm_eps)
-        xc = xc + _mlp(lp, h2, mm)
+        xc = xc + _mlp(lp, h2, mml)
         return xc, (k, v)
+
+    L = (cache.k["q"] if quantized else cache.k).shape[0]
 
     if use_layered:
 
         def layer(xc, scanned):
             lp, li = scanned
+            if int4_stacks:
+                lp = _with_sentinels(lp, int4_stacks)
             return _layer_math(
-                lp, xc, lambda q, k, v: _attend_layered(li, q, k, v)
+                lp,
+                xc,
+                lambda q, k, v: _attend_layered(li, q, k, v),
+                _layered_mm(mm, int4_stacks, li) if int4_stacks else mm,
             )
 
-        L = (cache.k["q"] if quantized else cache.k).shape[0]
-        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        xs = (layers_rest, jnp.arange(L, dtype=jnp.int32))
     else:
 
         def layer(xc, scanned):
-            lp, kc, vc = scanned
+            lp, li, kc, vc = scanned
 
             def attend(q, k, v):
                 if quantized:
@@ -917,9 +1043,16 @@ def decode_step(
                     )
                 return _dense_attend(q, kc, vc, k, v, key_mask)
 
-            return _layer_math(lp, xc, attend)
+            if int4_stacks:
+                lp = _with_sentinels(lp, int4_stacks)
+            return _layer_math(
+                lp,
+                xc,
+                attend,
+                _layered_mm(mm, int4_stacks, li) if int4_stacks else mm,
+            )
 
-        xs = (params["layers"], cache.k, cache.v)
+        xs = (layers_rest, jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
 
     xf, (k_new, v_new) = jax.lax.scan(layer, x, xs)
     hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
@@ -1005,10 +1138,21 @@ def decode_step_attn(
         )
         return out, probs.mean(axis=2)[:, 0]  # [B,1,H,Dh], [B,1? -> B,S]
 
+    layers_rest, int4_stacks = (
+        _split_int4_stacks(params["layers"])
+        if _layered_int4_enabled()
+        else (params["layers"], {})
+    )
+
     def layer(xc, scanned):
-        lp, kc_l, vc_l = scanned
+        lp, li, kc_l, vc_l = scanned
+        if int4_stacks:
+            lp = _with_sentinels(lp, int4_stacks)
+            mml = _layered_mm(_mm, int4_stacks, li)
+        else:
+            mml = _mm
         h = rms_norm(xc[:, None], lp["input_ln"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, h, _mm, H, KH, Dh)  # [B,1,H,Dh]/[B,1,KH,Dh]
+        q, k, v = _qkv(lp, h, mml, H, KH, Dh)  # [B,1,H,Dh]/[B,1,KH,Dh]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if quantized:
@@ -1018,12 +1162,13 @@ def decode_step_attn(
         else:
             kc, vc, ksc, vsc = kc_l, vc_l, None, None
         attn_out, probs = attend(q, kc, vc, ksc, vsc, k, v)
-        xc = xc + _mm(attn_out.reshape(B, H * Dh), lp["o_proj"])
+        xc = xc + mml(attn_out.reshape(B, H * Dh), lp["o_proj"])
         h2 = rms_norm(xc[:, None], lp["post_attn_ln"], cfg.rms_norm_eps)
-        xc = xc + _mlp(lp, h2, _mm)[:, 0]
+        xc = xc + _mlp(lp, h2, mml)[:, 0]
         return xc, (k[:, 0], v[:, 0], probs)
 
-    xs = (params["layers"], cache.k, cache.v)
+    L = layers_rest["input_ln"].shape[0]
+    xs = (layers_rest, jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
     xf, (k_new, v_new, probs_all) = jax.lax.scan(layer, x, xs)
     hidden = rms_norm(xf, params["norm"], cfg.rms_norm_eps)
     return hidden, k_new, v_new, probs_all[-1]

@@ -451,3 +451,49 @@ def test_extend_attention_int8prefix_matches_dequantized():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+
+def test_int4_layered_scan_matches_sliced(rng, monkeypatch):
+    """The layered-int4 restructure (models/llama._split_int4_stacks:
+    packed stacks pulled OUT of the scan, resolved per layer via
+    _LayeredInt4 sentinels) is bit-identical to the scan-sliced dispatch
+    across every entry point that carries it — decode_step, prefill,
+    prefill_extend, decode_step_attn.  On the 8-device CPU test mesh the
+    restructure only traces under FORCE_LAYERED_INT4 (it is gated to
+    single-device execution like the layered attention kernels), and
+    both forks resolve to the same portable half-split einsum, so
+    equality is exact, not approximate."""
+    from dropoutdecoding_tpu.utils.quantize import quantize_llama_params_int4
+
+    cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+    )
+    params = llama.init_params(cfg, jax.random.key(1), jnp.bfloat16)
+    q4 = quantize_llama_params_int4(params, lm_head="int4")
+
+    S = 16
+    x = jnp.asarray(rng.normal(size=(2, 3, cfg.hidden_size)), jnp.bfloat16)
+    pos = jnp.zeros((2,), jnp.int32)
+    cache = llama.KVCache.empty(cfg, 2, S, jnp.bfloat16)
+    mask = jnp.ones((2, 3, S), bool)
+    pe = jnp.asarray(rng.normal(size=(2, 5, cfg.hidden_size)), jnp.bfloat16)
+    pp = jnp.tile(jnp.arange(5)[None], (2, 1))
+
+    outs = {}
+    for force in (False, True):
+        monkeypatch.setattr(llama, "FORCE_LAYERED_INT4", force)
+        h, _, _ = llama.decode_step(q4, cfg, x, pos, cache, mask)
+        hp, kv = llama.prefill(q4, cfg, pe, pp)
+        he, _ = llama.prefill_extend(q4, cfg, pe, pp + 5, kv)
+        ha, _, _, attn = llama.decode_step_attn(
+            q4, cfg, x[:, 0], pos, cache, jnp.ones((2, S), bool)
+        )
+        outs[force] = [np.asarray(a) for a in (h, hp, he, ha, attn)]
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)

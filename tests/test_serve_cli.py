@@ -45,18 +45,34 @@ def test_caption_service_concurrent(tiny_llava, rng):
 
     import concurrent.futures as cf
 
-    def one(i):
-        img = Image.fromarray(
+    def _img(i):
+        return Image.fromarray(
             (np.random.default_rng(i).random((30, 30, 3)) * 255).astype(np.uint8),
             "RGB",
         )
-        return service.caption(img, "Describe the image.", timeout=300)
+
+    def one(i):
+        return service.caption(_img(i), "Describe the image.", timeout=300)
 
     with cf.ThreadPoolExecutor(max_workers=3) as ex:
         captions = list(ex.map(one, range(3)))
     assert len(captions) == 3
     for c in captions:
         assert c.startswith("t") and len(c.split()) == 5
+
+    # --batched-submit (opt-in: serving.submit_many groups plain
+    # same-budget requests into one prefill dispatch) produces the same
+    # captions — token identity of the route itself is pinned at the
+    # engine level in tests/test_serving.py
+    batched = CaptionService(eng, _TinyProcessor(cfg), "llava-1.5",
+                             n_slots=2, batched_submit=True)
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+        captions_b = list(ex.map(
+            lambda i: batched.caption(_img(i), "Describe the image.",
+                                      timeout=300),
+            range(3),
+        ))
+    assert captions_b == captions
 
 
 def test_caption_service_stream_stats_budget_chunked(tiny_llava, rng):

@@ -314,3 +314,72 @@ def test_layered_bf16_decode_attention_compiled(rng):
         )
         scale = np.max(np.abs(ref)) + 1e-9
         assert np.max(np.abs(ref - got)) / scale < 2e-2, li
+
+
+def test_int4_matmul_layered_compiled(rng):
+    """int4_matmul_layered(li, x, q4L, s4L) == int4_matmul(x, q4L[li],
+    s4L[li]) bit-for-bit on hardware for every layer index — the
+    scalar-prefetch block indexing reads exactly layer li's blocks (and
+    nothing of the other layers' bytes leaks into the dots)."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import (
+        int4_matmul,
+        int4_matmul_layered,
+    )
+
+    L, R, D, E = 3, 4, 512, 640  # E not 256-divisible: block-padding edge
+    q4L = jnp.asarray(
+        rng.integers(-128, 128, (L, D // 2, E)).astype(np.int8)
+    )
+    s4L = jnp.asarray(
+        rng.uniform(0.001, 0.01, (L, D // 128, E)).astype(np.float32)
+    )
+    x = jnp.asarray(rng.normal(size=(R, D)), jnp.bfloat16)
+    for li in range(L):
+        ref = np.asarray(int4_matmul(x, q4L[li], s4L[li]))
+        got = np.asarray(int4_matmul_layered(jnp.int32(li), x, q4L, s4L))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_int4_decode_layered_matches_xla_structure_compiled(rng):
+    """decode_step over an int4 tower on the single TPU chip (which takes
+    the layered Pallas projection path) stays within kernel tolerance of
+    the same tower dequantized to bf16 dense — the e2e guard that the
+    sentinel resolution maps each projection to ITS stack."""
+    from dropoutdecoding_tpu.models import llama
+    from dropoutdecoding_tpu.utils.config import LlamaConfig
+    from dropoutdecoding_tpu.utils.quantize import (
+        dequantize_matrix_int4,
+        quantize_llama_params_int4,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=128,
+    )
+    params = llama.init_params(cfg, jax.random.key(3), jnp.bfloat16)
+    q4 = quantize_llama_params_int4(params, lm_head="int4")
+    dense_layers = {
+        n: (dequantize_matrix_int4(w, jnp.bfloat16) if isinstance(w, dict) else w)
+        for n, w in q4["layers"].items()
+    }
+    dense = dict(q4, layers=dense_layers, lm_head=dequantize_matrix_int4(
+        q4["lm_head"], jnp.bfloat16))
+    S = 64
+    cache = llama.KVCache.empty(cfg, 2, S, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 2, cfg.hidden_size)), jnp.bfloat16)
+    pos = jnp.zeros((2,), jnp.int32)
+    mask = jnp.ones((2, 2, S), bool)
+    h4, _, _ = jax.jit(llama.decode_step, static_argnums=1)(
+        q4, cfg, x, pos, cache, mask
+    )
+    hd, _, _ = jax.jit(llama.decode_step, static_argnums=1)(
+        dense, cfg, x, pos, cache, mask
+    )
+    scale = np.max(np.abs(np.asarray(hd, np.float32))) + 1e-9
+    assert np.max(np.abs(np.asarray(h4, np.float32)
+                         - np.asarray(hd, np.float32))) / scale < 5e-2
