@@ -235,7 +235,19 @@ def reference_style_step(engine, params):
     """One decode step the reference's way: K+1 sequential M=1 forwards,
     each preceded by a full cache copy (2 deepcopy equivalents per step,
     reference llava.py:292,343).  Runs the same int8 weights; the copied
-    caches are the bf16 layout the reference deepcopies."""
+    caches are the bf16 layout the reference deepcopies.
+
+    The emulation must stay un-optimizable, or the baseline silently
+    measures OUR fused strategy instead of the reference's: the
+    reference's K member forwards run DIFFERENT masked embeddings, so
+    each member here multiplies x by a distinct per-member factor (K
+    identical pure forwards would CSE into one — observed once the
+    layered-attention rework made decode_step CSE-friendly: the
+    "emulation" jumped 9.4 -> 55 t/s), every member's logits feed the
+    output (the reference votes over all of them; dead logits would DCE
+    the forwards), and the deepcopy copies sit behind
+    ``optimization_barrier`` (a copy only ever read would otherwise be
+    elided into an alias, costing nothing)."""
     import jax
     import jax.numpy as jnp
 
@@ -249,24 +261,32 @@ def reference_style_step(engine, params):
         x = llama_mod.embed(params.lm, token)
         Smax = cache_k.shape[2]
         base = (jnp.arange(Smax)[None, :] < cur_len[:, None])[:, None, :]
-        orig_k = cache_k + 0  # "original_past_key_values = deepcopy(...)"
-        orig_v = cache_v + 0
+        # "original_past_key_values = deepcopy(...)"
+        orig_k = jax.lax.optimization_barrier(cache_k + 0)
+        orig_v = jax.lax.optimization_barrier(cache_v + 0)
         h0, _, _ = llama_mod.decode_step(
             params.lm, cfg.text, x[:, None], cur_len, cache, base
         )
-        logits = llama_mod.lm_head(params.lm, h0)[:, 0]
+        # the unmasked logits build the mask in the reference — live
+        logits_sum = llama_mod.lm_head(params.lm, h0)[:, 0]
         km = vm = None
-        for _m in range(K):
-            ck = orig_k + 0  # per-member deepcopy
-            cv = orig_v + 0
+        for m in range(K):
+            ck = jax.lax.optimization_barrier(orig_k + 0)  # member deepcopy
+            cv = jax.lax.optimization_barrier(orig_v + 0)
             member_cache = llama_mod.KVCache(ck, cv)
+            # distinct member input (the reference zeroes a per-member
+            # set of visual-token embeddings)
+            xm = x * jnp.asarray(1.0 - 1e-3 * (m + 1), x.dtype)
             hm, km, vm = llama_mod.decode_step(
-                params.lm, cfg.text, x[:, None], cur_len, member_cache, base
+                params.lm, cfg.text, xm[:, None], cur_len, member_cache, base
             )
             logits = llama_mod.lm_head(params.lm, hm)[:, 0]
+            logits_sum = logits_sum + logits  # every member is voted over
         nk = cache_k.at[:, jnp.arange(1), cur_len].set(km[:, :, 0])
         nv = cache_v.at[:, jnp.arange(1), cur_len].set(vm[:, :, 0])
-        return nk, nv, jnp.argmax(logits, -1).astype(jnp.int32)
+        # aggregate over ALL member logits (reference select_by_average):
+        # every forward's result is genuinely live in the output token
+        return nk, nv, jnp.argmax(logits_sum, -1).astype(jnp.int32)
 
     return step
 
