@@ -1176,12 +1176,68 @@ def run_once(n_layers):
     return greedy_tps, ens_tps, fused_tps, ref_tps
 
 
+def _preflight_tunnel(deadline_s: float):
+    """Fail FAST and LOUDLY if the TPU execute path is dead.
+
+    The axon tunnel can enter a state where device enumeration and
+    dispatch succeed instantly but the first execute/fetch round-trip
+    never returns (observed 2026-08-20: a trivial 128x128 matmul fetch
+    blocked >570 s; the same program costs ~1-13 s on a healthy tunnel,
+    70-260 s on a cold-backend one).  Without this guard the driver's
+    bench run times out with rc=124 and an EMPTY tail — the round-3
+    failure mode.  A daemon thread runs the trivial program; if it does
+    not complete inside ``deadline_s`` we print a diagnostic (the driver
+    records the tail) and exit 3 immediately rather than hanging.  On a
+    healthy tunnel this doubles as the backend/first-program warmup the
+    benchmark pays anyway.
+    """
+    import threading
+
+    import jax
+
+    done = threading.Event()
+    err: list = []
+
+    def probe():
+        try:
+            x = jax.numpy.zeros((128, 128), jax.numpy.bfloat16)
+            _fetch(x @ x)
+        except Exception as e:  # surfaced below
+            err.append(e)
+        finally:
+            done.set()
+
+    t0 = time.perf_counter()
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(deadline_s):
+        print(
+            f"PREFLIGHT FAILED: TPU tunnel execute leg is dead — a trivial "
+            f"128x128 matmul fetch did not return within {deadline_s:.0f}s "
+            f"(healthy: ~1-13 s warm, 70-260 s cold backend).  This is "
+            f"infrastructure, not the benchmark: device enumeration and "
+            f"dispatch succeed but no execute round-trip completes.  "
+            f"Exiting 3 instead of hanging to the driver timeout.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+    if err:
+        raise err[0]
+    print(
+        f"preflight: trivial-program round-trip "
+        f"{time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 def main():
     import gc
 
     import jax
 
     _enable_compile_cache()
+    _preflight_tunnel(float(os.environ.get("BENCH_PREFLIGHT_S", "300")))
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     result = None
     while n_layers >= 2:
