@@ -67,9 +67,32 @@ def _elapsed():
     return time.perf_counter() - T_START
 
 
-def _need(name: str, s: float):
+_CACHE_DIR = os.environ.get(
+    "BENCH_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+
+def _cache_warm() -> bool:
+    """True when the persistent XLA compile cache plausibly covers this
+    file's programs (round-5 verdict item 1b: the cold-cost estimates were
+    stale on a warm cache and budget-starved exactly the family-coverage
+    sections)."""
+    try:
+        return len(os.listdir(_CACHE_DIR)) >= 40
+    except OSError:
+        return False
+
+
+WARM = _cache_warm()
+
+
+def _need(name: str, cold_s: float, warm_s: float | None = None):
     """Raise (caught by the section's except) when the remaining budget
-    cannot cover the section's worst-case cold cost."""
+    cannot cover the section's cost.  ``warm_s`` is the measured cost with
+    the persistent compile cache populated (compile ~1 s/program instead
+    of ~30 s); used whenever the cache dir looks warm."""
+    s = warm_s if (WARM and warm_s is not None) else cold_s
     if _elapsed() + s > BUDGET_S:
         raise RuntimeError(
             f"budget ({_elapsed():.0f}s elapsed + ~{s:.0f}s > {BUDGET_S:.0f}s)"
@@ -84,11 +107,7 @@ def _enable_compile_cache():
     import jax
 
     try:
-        cache_dir = os.environ.get(
-            "BENCH_COMPILE_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
+        cache_dir = _CACHE_DIR
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -434,19 +453,18 @@ def run_once(n_layers):
 
     # HEADLINE JSON goes out as soon as the core three measurements exist,
     # so a driver-side timeout during the extras below cannot lose it.
-    print(
-        json.dumps(
-            {
-                "metric": "k3_ensemble_decode_tokens_per_sec",
-                "value": round(ens_tps, 3),
-                "unit": "tokens/s",
-                "vs_baseline": round(ens_tps / ref_tps, 3),
-                "decode_tokens": DECODE_TOKENS,
-                "dispatch_overhead_ms": round(ov * 1000, 1),
-            }
-        ),
-        flush=True,
-    )
+    # main() RE-prints the same line as the very last output: BENCH_r04's
+    # `parsed` was null because ~25 section lines followed this one and the
+    # driver extracts the JSON from the captured tail (round-5 item 1a).
+    headline = {
+        "metric": "k3_ensemble_decode_tokens_per_sec",
+        "value": round(ens_tps, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(ens_tps / ref_tps, 3),
+        "decode_tokens": DECODE_TOKENS,
+        "dispatch_overhead_ms": round(ov * 1000, 1),
+    }
+    print(json.dumps(headline), flush=True)
 
     # fused single-stream mode (lagged overlap; EnsembleConfig.fused_step)
     from dropoutdecoding_tpu.utils.config import EnsembleConfig as _EC
@@ -468,7 +486,7 @@ def run_once(n_layers):
     # Same B=1 state as the headline K=3 lines, K=8 prob ladder; latency
     # ratio = greedy_tps / k8_tps (per-token steady state).
     try:
-        _need("K=8 single-stream", 80)
+        _need("K=8 single-stream", 80, 35)
         k8e = mk(True)
         k8e.ens = _EC(voting_probs=K8_PROBS, fused_step=False)
         k8e.__post_init__()
@@ -499,7 +517,7 @@ def run_once(n_layers):
     # biggest remaining decode lever (~3.5 GB/token vs 6.8).  Runs last:
     # the int4 tower replaces the freed int8/Mistral weights on the chip.
     try:
-        _need("int4 tier", 110)
+        _need("int4 tier", 110, 50)
         from dropoutdecoding_tpu.utils.synthetic import synthetic_int4_lm
 
         lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12))
@@ -583,7 +601,7 @@ def run_once(n_layers):
     # round-4 verdict item 5).  Greedy decode on this tower loops, as
     # greedy captioning does; alpha is workload-dependent and reported.
     try:
-        _need("speculative ngram", 70)
+        _need("speculative ngram", 70, 40)
         from dropoutdecoding_tpu.engine.speculative import SpeculativeGreedy
 
         GAM = 4
@@ -613,7 +631,7 @@ def run_once(n_layers):
         def run_ng():
             fc = jax.tree.map(lambda a: a.copy(), st_ng.cache)
             t0 = time.perf_counter()
-            buf, n_out, iters = fused_ng(
+            buf, n_out, iters, _ = fused_ng(
                 params, fc, st_ng.cur_len, st_ng.first_token, buf0 + 0
             )
             n, it = int(_fetch(n_out)), int(_fetch(iters))
@@ -625,216 +643,72 @@ def run_once(n_layers):
         )
         ng_tps = n_tok / max(wall - ov, wall / 2)
         print(
-            f"speculative ngram-draft gamma={GAM}: {ng_tps:.2f} t/s "
+            f"speculative ngram-draft gamma={GAM} (worst case: random "
+            f"tower, no stream repetition): {ng_tps:.2f} t/s "
             f"(= {ng_tps / greedy_tps:.2f}x greedy throughput, "
             f"{n_tok / max(n_cyc, 1):.2f} tok/cycle over {n_cyc} cycles; "
             f"exact greedy output)",
             file=sys.stderr, flush=True,
         )
+
+        # STRUCTURED-REPETITION workload (round-5 verdict item 4): same
+        # full 7B int8 verify tower and unchanged speculative machinery,
+        # but greedy decode on THIS tower is engineered to be periodic —
+        # each cycle token's embedding row is overwritten with a large
+        # multiple of the NEXT cycle token's lm_head column, so the
+        # pre-norm residual stream stays dominated by the embedding and
+        # greedy argmax walks the period-8 cycle deterministically.  This
+        # is the honest analogue of captioning text repeating n-grams
+        # (vLLM's ngram speculator wins on exactly such streams); the line
+        # above is the adversarial zero-repetition floor.  Output remains
+        # exactly this tower's greedy sequence.
+        CYC = jnp.arange(100, 108)
+
+        @jax.jit
+        def engineer(emb, head):
+            nxt = jnp.roll(CYC, -1)
+            cols = head["q"][:, nxt].astype(jnp.float32).T
+            cols = cols * head["s"][0, nxt][:, None]
+            cols = cols / jnp.linalg.norm(cols, axis=1, keepdims=True)
+            return emb.at[CYC].set((3000.0 * cols).astype(emb.dtype))
+
+        lm_rep = dict(params.lm)
+        lm_rep["embed_tokens"] = engineer(
+            params.lm["embed_tokens"], params.lm["lm_head"]
+        )
+        params_rep = LlavaParams(
+            vision=params.vision, projector=params.projector, lm=lm_rep
+        )
+        first_rep = jnp.full((1,), int(CYC[0]), jnp.int32)
+        buf_rep = buf0.at[0].set(first_rep[0])
+
+        def run_rep():
+            fc = jax.tree.map(lambda a: a.copy(), st_ng.cache)
+            t0 = time.perf_counter()
+            buf, n_out, iters, _ = fused_ng(
+                params_rep, fc, st_ng.cur_len, first_rep, buf_rep + 0
+            )
+            n, it = int(_fetch(n_out)), int(_fetch(iters))
+            return n, it, time.perf_counter() - t0
+
+        run_rep()  # warm (identical program shapes: no recompile)
+        n_tok, n_cyc, wall = min(
+            (run_rep() for _ in range(2)), key=lambda r: r[2]
+        )
+        rep_tps = n_tok / max(wall - ov, wall / 2)
+        print(
+            f"speculative ngram-draft gamma={GAM}, repeat-structured "
+            f"workload (synthetic period-8 stream, full 7B verify tower): "
+            f"{rep_tps:.2f} t/s (= {rep_tps / greedy_tps:.2f}x greedy "
+            f"throughput, {n_tok / max(n_cyc, 1):.2f} tok/cycle over "
+            f"{n_cyc} cycles)",
+            file=sys.stderr, flush=True,
+        )
+        del params_rep, lm_rep
         del spec, spec_eng, st_ng, fused_ng
     except Exception as e:
         print(f"speculative ngram skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
-    # prefill latency (vision tower + merge + LM + fused uncertainty
-    # kernel) + the POPE fast path: a POPE answer is the argmax at the
-    # prompt's last position (max_new_tokens=1, reference
-    # pope_test.py:239-242), i.e. PrefillState.first_token directly.
-    try:
-        _need("prefill/POPE block", 150)
-        ids = np.array(
-            [[1] + list(range(4, 20)) + [cfg.image_token_index]
-             + list(range(20, 36))],
-            np.int32,
-        )
-        px = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(
-            np.float32
-        )
-        st = ens_engine.prefill(ids, px)
-        _fetch(st.first_token)  # cold
-        best = float("inf")
-        for _ in range(5):  # single-dispatch timing: tunnel jitter is
-            # +-tens of ms, so take min over more repeats
-            t0 = time.perf_counter()
-            st = ens_engine.prefill(ids, px)
-            _fetch(st.first_token)
-            best = min(best, time.perf_counter() - t0)
-        best = max(best - ov, best / 2)  # one dispatch: same correction
-        print(
-            f"prefill (608 tok + ViT-L/336): {best * 1000:.1f} ms  "
-            f"=> POPE fast path {1.0 / best:.1f} questions/s/chip",
-            file=sys.stderr, flush=True,
-        )
-
-        # w8a8 prefill (int8-MXU projections, --quantize w8a8): profiled
-        # device time 42.9 vs 60.5 ms at this config (1.41x); the wall
-        # delta over the tunnel is smaller because ~35 ms of per-dispatch
-        # state-buffer overhead is fixed.
-        e8 = mk(True)
-        e8.w8a8_prefill = True
-        e8.__post_init__()
-        st = e8.prefill(ids, px)
-        _fetch(st.first_token)
-        best8 = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            st = e8.prefill(ids, px)
-            _fetch(st.first_token)
-            best8 = min(best8, time.perf_counter() - t0)
-        best8 = max(best8 - ov, best8 / 2)
-        print(
-            f"prefill w8a8: {best8 * 1000:.1f} ms  "
-            f"=> POPE fast path {1.0 / best8:.1f} questions/s/chip",
-            file=sys.stderr, flush=True,
-        )
-
-        # batched POPE, probe path (cli/pope_test.py --batch-size): 8
-        # variable-length questions, right-padded with per-row text_lens,
-        # run through engine.probe — the 1-token fast path that skips the
-        # [B, N, V] visual-logits table, uncertainty, top-k, and the KV
-        # cache materialization (none can affect the first token) — with
-        # the batch's UNIQUE images deduped via image_index (POPE asks 6
-        # consecutive questions per image => 2 unique images per batch-8
-        # group), so the ViT runs twice, not 8 times (round-2 verdict
-        # weak #2: the batched path must win on device, not just on
-        # dispatch amortization).
-        Bq = 8
-        rngq = np.random.default_rng(1)
-        qlens = rngq.integers(28, 34, Bq)
-        Sq = 40
-        idsq = np.zeros((Bq, Sq), np.int32)
-        for i, L in enumerate(qlens):
-            row = [1] + list(rngq.integers(4, 1000, L - 2)) + [2]
-            row[3] = cfg.image_token_index
-            idsq[i, :L] = row
-        pxu = rngq.normal(size=(2, 3, 336, 336)).astype(np.float32)
-        img_idx = np.array([0, 0, 0, 0, 0, 0, 1, 1], np.int32)
-        lensq = qlens.astype(np.int32)
-        stq = e8.probe(idsq, pxu, text_lens=lensq, image_index=img_idx)
-        _fetch(stq.first_token)
-        bestq = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            stq = e8.probe(idsq, pxu, text_lens=lensq, image_index=img_idx)
-            _fetch(stq.first_token)
-            bestq = min(bestq, time.perf_counter() - t0)
-        bestq = max(bestq - ov, bestq / 2)
-        print(
-            f"batched POPE (w8a8 probe, batch {Bq}, var-len, 2 unique "
-            f"images): {bestq * 1000:.1f} ms => "
-            f"{Bq / bestq:.1f} questions/s/chip",
-            file=sys.stderr, flush=True,
-        )
-        # prefix-cached POPE (cli/pope_test.py --prefix-cache): the
-        # shared [text-prefix + image] span (~583 of ~615 merged tokens)
-        # prefills ONCE per image; each question is a ~32-token
-        # prefill_extend over the cached KV.  Steady state = 1 prefix +
-        # 1 extend (6 real questions padded to 8 rows) per image.
-        prefix_ids = np.zeros((1, 8), np.int32)
-        prefix_ids[0] = [1] + list(rngq.integers(4, 1000, 7))
-        prefix_ids[0, 3] = cfg.image_token_index
-        tails = rngq.integers(4, 1000, (8, 32)).astype(np.int32)
-        tlens = rngq.integers(26, 33, 8).astype(np.int32)
-        kvp = e8.probe_prefix(prefix_ids, pxu[:1])
-        rp = e8.probe_extend(kvp, tails, tlens)
-        _fetch(rp.first_token)
-        bestp = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            kvp = e8.probe_prefix(prefix_ids, pxu[:1])
-            rp = e8.probe_extend(kvp, tails, tlens)
-            _fetch(rp.first_token)
-            bestp = min(bestp, time.perf_counter() - t0)
-        bestp = max(bestp - ov, bestp / 2)
-        print(
-            f"prefix-cached POPE (w8a8, 1 prefix + 6 questions/image): "
-            f"{bestp * 1000:.1f} ms/image => {6 / bestp:.1f} questions/s/chip",
-            file=sys.stderr, flush=True,
-        )
-
-        # free the prefill-block state BEFORE the stretch config — stq's
-        # B=8 cache (~1.4 GB) plus e8's programs tipped the 16 GB chip
-        # over once the stretch engine allocated its 16 caches
-        import gc as _gc
-
-        del st, stq, e8, kvp, rp
-        _gc.collect()
-    except Exception as e:
-        print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
-
-    # serving: continuous-batching DecodeServer (n_slots=8, fused K=3,
-    # caption workload: 16 requests x 16 tokens), chunked dispatch — 8
-    # decode steps per host round-trip (engine/serving.py step(n)) so the
-    # ~30 ms per-dispatch cost is paid per 8 tokens, not per token.
-    # Baseline: per-request sequential generation (prefill + whole-loop
-    # decode each).
-    try:
-        _need("serving", 90)
-        from dropoutdecoding_tpu.engine.serving import DecodeServer
-
-        srv_eng = mk(True, tokens=16)
-        srv_eng.ens = _EC(fused_step=True)
-        srv_eng.__post_init__()
-        rngs = np.random.default_rng(5)
-        sreqs = {}
-        for i in range(16):
-            L = int(rngs.integers(28, 34))
-            row = [1] + list(rngs.integers(4, 1000, L - 2)) + [2]
-            row[3] = cfg.image_token_index
-            sreqs[f"r{i}"] = (
-                np.asarray([row], np.int32),
-                rngs.normal(size=(1, 3, 336, 336)).astype(np.float32),
-            )
-        ids4 = list(sreqs.items())[:4]
-        for _, a in ids4:
-            srv_eng.generate(*a)  # warm every prompt-length program
-        t0 = time.perf_counter()
-        for _, a in ids4:
-            srv_eng.generate(*a)
-        seq_rps = 4 / (time.perf_counter() - t0)
-        srv = DecodeServer(engine=srv_eng, n_slots=8)
-        srv.run(list(sreqs), lambda r: sreqs[r],
-                batch_prefill=False, step_chunk=8)  # warm
-        best_serve = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = srv.run(list(sreqs), lambda r: sreqs[r],
-                          batch_prefill=False, step_chunk=8)
-            best_serve = min(best_serve, time.perf_counter() - t0)
-            assert len(out) == len(sreqs)
-        serve_rps = len(sreqs) / best_serve
-        print(
-            f"serving n_slots=8 (fused K=3, 16 tok): {serve_rps:.2f} req/s "
-            f"(= {serve_rps / seq_rps:.2f}x per-request sequential "
-            f"{seq_rps:.2f} req/s)",
-            file=sys.stderr, flush=True,
-        )
-        del srv, srv_eng, sreqs
-        import gc as _gc2
-
-        _gc2.collect()
-    except Exception as e:
-        print(f"serving bench skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote.
-    # Its own 16-token window: the B=16 cache at a 64-token window tips the
-    # 16 GB chip over (weights 6.8 GB + 16 caches + the [16, N, V] state).
-    try:
-        _need("stretch config", 60)
-        k8 = mk(True, tokens=16)
-        k8.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
-        k8.__post_init__()
-        state16 = build_state(k8, cfg, jax.random.key(2), B=16)
-        _fetch(state16.first_token)
-        per_stream = time_decode(k8, state16, params, ov)
-        print(
-            f"batch16 x K=8 fused: {per_stream * 16:.2f} total tokens/s "
-            f"({per_stream:.2f} t/s per caption stream; "
-            f"{per_stream / greedy_tps:.2f}x single-stream greedy rate)",
-            file=sys.stderr, flush=True,
-        )
-    except Exception as e:
-        print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # GQA long-context decode (LLaVA-NeXT semantics: Mistral-7B tower with
     # KH=8, ~2.9k visual tokens, continuous-batching batch of 8) — the
@@ -887,11 +761,11 @@ def run_once(n_layers):
     # decode and NeXT POPE sections (round-4 verdict 1c: one tower, not
     # two)
     nlm = None
-    if _elapsed() + 60 <= BUDGET_S:
+    if _elapsed() + (20 if WARM else 60) <= BUDGET_S:
         nlm = synthetic_int8_lm(ncfg.text, jax.random.key(3))
 
     try:
-        _need("llavanext-shape config", 90)
+        _need("llavanext-shape config", 90, 40)
         if nlm is None:
             raise RuntimeError("budget (no tower)")
         nproto = jax.jit(
@@ -945,7 +819,7 @@ def run_once(n_layers):
     # w8a8 prefill, 8 var-len questions, 2 unique images (tile ViT +
     # packing deduped via image_index).
     try:
-        _need("llava-next POPE block", 130)
+        _need("llava-next POPE block", 130, 55)
         import gc
 
         try:
@@ -1084,7 +958,7 @@ def run_once(n_layers):
     # int8 Vicuna tower; per-row instruction ids (the Q-Former reads the
     # question), ViT deduped across the batch's 2 unique images.
     try:
-        _need("instructblip POPE block", 120)
+        _need("instructblip POPE block", 120, 50)
         from dropoutdecoding_tpu.engine.instructblip_engine import (
             InstructBlipEngine,
         )
@@ -1167,13 +1041,242 @@ def run_once(n_layers):
             f"=> {8 / besti:.1f} questions/s/chip",
             file=sys.stderr, flush=True,
         )
+        # free the Vicuna tower (~7 GB) before the llava rebuild below
+        del ieng, iparams, ilm, iproto, r
+        import gc as _gci
+
+        _gci.collect()
     except Exception as e:
         print(
             f"instructblip POPE line skipped: {type(e).__name__}: {e}",
             file=sys.stderr,
         )
 
-    return greedy_tps, ens_tps, fused_tps, ref_tps
+    # ------------------------------------------------------------------
+    # Remaining llava-family sections (prefill/POPE, serving, stretch)
+    # run LAST: they rank below family coverage in the budget order
+    # (round-5 verdict item 1b; BENCH_r04 budget-starved exactly the
+    # family sections).  The family sections above freed the llava int8
+    # tower to fit the Mistral/EVA towers, so rebuild it — one
+    # cached-program generation (~5 s warm).
+    try:
+        _need("llava tower rebuild", 60, 20)
+        lm = synthetic_int8_lm(cfg.text, jax.random.key(0))
+        proto = jax.jit(
+            lambda k: llava_mod.init_params(proto_cfg, k, jnp.bfloat16)
+        )(jax.random.key(1))
+        params = LlavaParams(
+            vision=proto.vision, projector=proto.projector, lm=lm
+        )
+        _fetch(params.lm["norm"])
+        ens_engine = mk(True)
+    except Exception as e:
+        print(f"llava rebuild skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return greedy_tps, ens_tps, fused_tps, ref_tps, headline
+
+    # prefill latency (vision tower + merge + LM + fused uncertainty
+    # kernel) + the POPE fast path: a POPE answer is the argmax at the
+    # prompt's last position (max_new_tokens=1, reference
+    # pope_test.py:239-242), i.e. PrefillState.first_token directly.
+    try:
+        _need("prefill/POPE block", 150, 60)
+        ids = np.array(
+            [[1] + list(range(4, 20)) + [cfg.image_token_index]
+             + list(range(20, 36))],
+            np.int32,
+        )
+        px = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(
+            np.float32
+        )
+        st = ens_engine.prefill(ids, px)
+        _fetch(st.first_token)  # cold
+        best = float("inf")
+        for _ in range(5):  # single-dispatch timing: tunnel jitter is
+            # +-tens of ms, so take min over more repeats
+            t0 = time.perf_counter()
+            st = ens_engine.prefill(ids, px)
+            _fetch(st.first_token)
+            best = min(best, time.perf_counter() - t0)
+        best = max(best - ov, best / 2)  # one dispatch: same correction
+        print(
+            f"prefill (608 tok + ViT-L/336): {best * 1000:.1f} ms  "
+            f"=> POPE fast path {1.0 / best:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+
+        # w8a8 prefill (int8-MXU projections, --quantize w8a8): profiled
+        # device time 42.9 vs 60.5 ms at this config (1.41x); the wall
+        # delta over the tunnel is smaller because ~35 ms of per-dispatch
+        # state-buffer overhead is fixed.
+        e8 = mk(True)
+        e8.w8a8_prefill = True
+        e8.__post_init__()
+        st = e8.prefill(ids, px)
+        _fetch(st.first_token)
+        best8 = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            st = e8.prefill(ids, px)
+            _fetch(st.first_token)
+            best8 = min(best8, time.perf_counter() - t0)
+        best8 = max(best8 - ov, best8 / 2)
+        print(
+            f"prefill w8a8: {best8 * 1000:.1f} ms  "
+            f"=> POPE fast path {1.0 / best8:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+
+        # batched POPE, probe path (cli/pope_test.py --batch-size): 8
+        # variable-length questions, right-padded with per-row text_lens,
+        # run through engine.probe — the 1-token fast path that skips the
+        # [B, N, V] visual-logits table, uncertainty, top-k, and the KV
+        # cache materialization (none can affect the first token) — with
+        # the batch's UNIQUE images deduped via image_index (POPE asks 6
+        # consecutive questions per image => 2 unique images per batch-8
+        # group), so the ViT runs twice, not 8 times (round-2 verdict
+        # weak #2: the batched path must win on device, not just on
+        # dispatch amortization).
+        Bq = 8
+        rngq = np.random.default_rng(1)
+        qlens = rngq.integers(28, 34, Bq)
+        Sq = 40
+        idsq = np.zeros((Bq, Sq), np.int32)
+        for i, L in enumerate(qlens):
+            row = [1] + list(rngq.integers(4, 1000, L - 2)) + [2]
+            row[3] = cfg.image_token_index
+            idsq[i, :L] = row
+        pxu = rngq.normal(size=(2, 3, 336, 336)).astype(np.float32)
+        img_idx = np.array([0, 0, 0, 0, 0, 0, 1, 1], np.int32)
+        lensq = qlens.astype(np.int32)
+        stq = e8.probe(idsq, pxu, text_lens=lensq, image_index=img_idx)
+        _fetch(stq.first_token)
+        bestq = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            stq = e8.probe(idsq, pxu, text_lens=lensq, image_index=img_idx)
+            _fetch(stq.first_token)
+            bestq = min(bestq, time.perf_counter() - t0)
+        bestq = max(bestq - ov, bestq / 2)
+        print(
+            f"batched POPE (w8a8 probe, batch {Bq}, var-len, 2 unique "
+            f"images): {bestq * 1000:.1f} ms => "
+            f"{Bq / bestq:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+        # prefix-cached POPE (cli/pope_test.py --prefix-cache): the
+        # shared [text-prefix + image] span (~583 of ~615 merged tokens)
+        # prefills ONCE per image; each question is a ~32-token
+        # prefill_extend over the cached KV.  Steady state = 1 prefix +
+        # 1 extend (6 real questions padded to 8 rows) per image.
+        prefix_ids = np.zeros((1, 8), np.int32)
+        prefix_ids[0] = [1] + list(rngq.integers(4, 1000, 7))
+        prefix_ids[0, 3] = cfg.image_token_index
+        tails = rngq.integers(4, 1000, (8, 32)).astype(np.int32)
+        tlens = rngq.integers(26, 33, 8).astype(np.int32)
+        kvp = e8.probe_prefix(prefix_ids, pxu[:1])
+        rp = e8.probe_extend(kvp, tails, tlens)
+        _fetch(rp.first_token)
+        bestp = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            kvp = e8.probe_prefix(prefix_ids, pxu[:1])
+            rp = e8.probe_extend(kvp, tails, tlens)
+            _fetch(rp.first_token)
+            bestp = min(bestp, time.perf_counter() - t0)
+        bestp = max(bestp - ov, bestp / 2)
+        print(
+            f"prefix-cached POPE (w8a8, 1 prefix + 6 questions/image): "
+            f"{bestp * 1000:.1f} ms/image => {6 / bestp:.1f} questions/s/chip",
+            file=sys.stderr, flush=True,
+        )
+
+        # free the prefill-block state BEFORE the stretch config — stq's
+        # B=8 cache (~1.4 GB) plus e8's programs tipped the 16 GB chip
+        # over once the stretch engine allocated its 16 caches
+        import gc as _gc
+
+        del st, stq, e8, kvp, rp
+        _gc.collect()
+    except Exception as e:
+        print(f"prefill bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # serving: continuous-batching DecodeServer (n_slots=8, fused K=3,
+    # caption workload: 16 requests x 16 tokens), chunked dispatch — 8
+    # decode steps per host round-trip (engine/serving.py step(n)) so the
+    # ~30 ms per-dispatch cost is paid per 8 tokens, not per token.
+    # Baseline: per-request sequential generation (prefill + whole-loop
+    # decode each).
+    try:
+        _need("serving", 90, 40)
+        from dropoutdecoding_tpu.engine.serving import DecodeServer
+
+        srv_eng = mk(True, tokens=16)
+        srv_eng.ens = _EC(fused_step=True)
+        srv_eng.__post_init__()
+        rngs = np.random.default_rng(5)
+        sreqs = {}
+        for i in range(16):
+            L = int(rngs.integers(28, 34))
+            row = [1] + list(rngs.integers(4, 1000, L - 2)) + [2]
+            row[3] = cfg.image_token_index
+            sreqs[f"r{i}"] = (
+                np.asarray([row], np.int32),
+                rngs.normal(size=(1, 3, 336, 336)).astype(np.float32),
+            )
+        ids4 = list(sreqs.items())[:4]
+        for _, a in ids4:
+            srv_eng.generate(*a)  # warm every prompt-length program
+        t0 = time.perf_counter()
+        for _, a in ids4:
+            srv_eng.generate(*a)
+        seq_rps = 4 / (time.perf_counter() - t0)
+        srv = DecodeServer(engine=srv_eng, n_slots=8)
+        srv.run(list(sreqs), lambda r: sreqs[r],
+                batch_prefill=False, step_chunk=8)  # warm
+        best_serve = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = srv.run(list(sreqs), lambda r: sreqs[r],
+                          batch_prefill=False, step_chunk=8)
+            best_serve = min(best_serve, time.perf_counter() - t0)
+            assert len(out) == len(sreqs)
+        serve_rps = len(sreqs) / best_serve
+        print(
+            f"serving n_slots=8 (fused K=3, 16 tok): {serve_rps:.2f} req/s "
+            f"(= {serve_rps / seq_rps:.2f}x per-request sequential "
+            f"{seq_rps:.2f} req/s)",
+            file=sys.stderr, flush=True,
+        )
+        del srv, srv_eng, sreqs
+        import gc as _gc2
+
+        _gc2.collect()
+    except Exception as e:
+        print(f"serving bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # stretch config (BASELINE.json #5): batch 16 images x K=8 max-vote.
+    # Its own 16-token window: the B=16 cache at a 64-token window tips the
+    # 16 GB chip over (weights 6.8 GB + 16 caches + the [16, N, V] state).
+    try:
+        _need("stretch config", 60, 30)
+        k8 = mk(True, tokens=16)
+        k8.ens = _EC(voting_probs=K8_PROBS, fused_step=True)
+        k8.__post_init__()
+        state16 = build_state(k8, cfg, jax.random.key(2), B=16)
+        _fetch(state16.first_token)
+        per_stream = time_decode(k8, state16, params, ov)
+        print(
+            f"batch16 x K=8 fused: {per_stream * 16:.2f} total tokens/s "
+            f"({per_stream:.2f} t/s per caption stream; "
+            f"{per_stream / greedy_tps:.2f}x single-stream greedy rate)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    return greedy_tps, ens_tps, fused_tps, ref_tps, headline
 
 
 def _preflight_tunnel(deadline_s: float):
@@ -1237,7 +1340,7 @@ def main():
     import jax
 
     _enable_compile_cache()
-    _preflight_tunnel(float(os.environ.get("BENCH_PREFLIGHT_S", "300")))
+    _preflight_tunnel(float(os.environ.get("BENCH_PREFLIGHT_S", "450")))
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     result = None
     while n_layers >= 2:
@@ -1257,7 +1360,7 @@ def main():
             raise
     if result is None:
         raise RuntimeError("could not fit model")
-    greedy_tps, ens_tps, fused_tps, ref_tps = result
+    greedy_tps, ens_tps, fused_tps, ref_tps, headline = result
 
     print(
         f"layers={n_layers} int8: greedy={greedy_tps:.2f} t/s "
@@ -1266,6 +1369,10 @@ def main():
         f"reference-style={ref_tps:.2f} t/s",
         file=sys.stderr,
     )
+    # the driver extracts `parsed` from the END of the captured output:
+    # re-print the same headline JSON (already printed right after the
+    # core measurements) as the final line — belt and braces
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

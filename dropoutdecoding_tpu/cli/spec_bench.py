@@ -110,7 +110,7 @@ def main(argv=None):
                                      jnp.asarray(ids), px)
             np.asarray(st.first_token)
             t0 = time.perf_counter()
-            buf, n_out, iters = spec._fused(
+            buf, n_out, iters, _, _ = spec._fused(
                 eng.params, spec.draft_lm, st.cache, dc,
                 st.cur_len, st.first_token,
             )
@@ -196,7 +196,7 @@ def main(argv=None):
             first = int(np.asarray(st.first_token)[0])
             buf0 = jnp.full((T + gamma + 1,), 0, jnp.int32).at[0].set(first)
             t0 = time.perf_counter()
-            buf, n_out, iters = spec._fused_ng(
+            buf, n_out, iters, _ = spec._fused_ng(
                 eng.params, st.cache, st.cur_len, st.first_token, buf0
             )
             n = int(np.asarray(n_out))

@@ -245,8 +245,13 @@ class SpeculativeGreedy:
         carry = (tcache, dcache, cur_len, token, buf, jnp.int32(0),
                  jnp.zeros((), bool), jnp.int32(0))
         carry = jax.lax.while_loop(cond, cycle, carry)
+        tcache, dcache = carry[0], carry[1]
         buf, n_out, iters = carry[4], carry[5], carry[7]
-        return buf[:T], jnp.minimum(n_out, T), iters
+        # the final caches are returned (and discarded by callers) so the
+        # donated input cache buffers have matching outputs to alias —
+        # without them XLA warns "donated buffers were not usable" and
+        # copies the caches at dispatch entry instead of reusing them
+        return buf[:T], jnp.minimum(n_out, T), iters, tcache, dcache
 
     def _cycle_body(self, params, draft_lm, tcache, dcache, cur_len, token):
         """The in-program cycle math shared by _cycle_impl (per-cycle
@@ -342,7 +347,9 @@ class SpeculativeGreedy:
                  jnp.zeros((), bool), jnp.int32(0))
         carry = jax.lax.while_loop(cond, cycle, carry)
         buf, n_out, iters = carry[3], carry[4], carry[6]
-        return buf, jnp.minimum(n_out, T), iters
+        # return the final cache so the donated tcache aliases an output
+        # (see _generate_fused_impl) — callers discard it
+        return buf, jnp.minimum(n_out, T), iters, carry[0]
 
     def _check_headroom(self, state):
         """The verify appends G+1 KV rows at the current position: the
@@ -380,7 +387,7 @@ class SpeculativeGreedy:
                 )
             buf0 = jnp.full((T + self.gamma + 1,), pad, jnp.int32)
             buf0 = buf0.at[0].set(first)
-            buf, n_out, iters = self._fused_ng(
+            buf, n_out, iters, _ = self._fused_ng(
                 eng.params, state.cache, state.cur_len,
                 state.first_token, buf0,
             )
@@ -396,7 +403,7 @@ class SpeculativeGreedy:
                 )
             # the fused program emits from the token AFTER the prefill
             # argmax
-            buf, n_out, iters = self._fused(
+            buf, n_out, iters, _, _ = self._fused(
                 eng.params, self.draft_lm, state.cache, dcache,
                 state.cur_len, state.first_token,
             )

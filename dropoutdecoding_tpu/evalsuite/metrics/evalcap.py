@@ -35,12 +35,33 @@ METRIC_NOTES = {
     "scorer": "lite-ports",
     "SPICE": (
         "SPICE-lite (stemmed content-word F1 vs union of refs); "
-        "Java SPICE unavailable (no JVM)"
+        "Java SPICE unavailable (no JVM).  Calibration vs the "
+        "reference's archived Java scores: corpus-level in-band, "
+        "per-image Pearson r=0.13 — treat per-image values as a proxy "
+        "(docs/METRIC_CALIBRATION.md)"
     ),
     "METEOR": (
-        "METEOR-lite (exact + Porter-stem stages; WordNet synonym/"
-        "paraphrase stages unavailable without corpus data)"
+        "METEOR-lite: METEOR-1.5 `en norm` semantics (alpha=.85, "
+        "beta=.2, gamma=.6, delta=.75, exact+stem stages weighted "
+        "1.0/0.6); WordNet synonym/paraphrase stages unavailable "
+        "without corpus data (they only add matches: lite <= Java on "
+        "equal inputs).  Calibrated vs 28.9k archived Java-scored "
+        "captions: archived-regime mean predicted 0.15 vs observed "
+        "0.156; per-image Spearman 0.48 across a pseudo-reference "
+        "shift (docs/METRIC_CALIBRATION.md)"
     ),
+}
+
+# Headline constants from docs/METRIC_CALIBRATION.md (committed study:
+# docs/metric_calibration.json; regression: tests/test_metric_calibration
+# .py).  first_sentence pseudo-reference mode, n=1080, seed 0.
+METEOR_CALIBRATION = {
+    "pearson": 0.50, "spearman": 0.48,
+    "offset_mean": 0.167, "offset_std": 0.085,
+    "java_from_lite": (0.20, 0.091), "residual_std": 0.037,
+}
+SPICE_CALIBRATION = {
+    "pearson": 0.13, "offset_mean": 0.193, "offset_std": 0.131,
 }
 
 REAL_METRIC_NOTES = {"scorer": "pycocoevalcap"}

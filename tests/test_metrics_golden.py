@@ -138,17 +138,29 @@ def test_cider_length_penalty():
 
 # ---------------------------------------------------------------- METEOR
 def test_meteor_exact_match_perfect():
+    """METEOR-1.5 en-norm params (alpha=.85, beta=.2, gamma=.6): exact
+    self-match gives P=R=1 -> fmean=1; one chunk over 3 matches ->
+    penalty 0.6*(1/3)^0.2."""
     corpus, per = meteor_lite({1: ["the cat sat"]}, {1: ["the cat sat"]})
-    # P=R=1, fmean=1, one chunk over 3 matches: penalty 0.5*(1/3)^3
-    np.testing.assert_allclose(per[1], 1 - 0.5 * (1 / 3) ** 3, rtol=1e-6)
+    np.testing.assert_allclose(per[1], 1 - 0.6 * (1 / 3) ** 0.2, rtol=1e-6)
 
 
 def test_meteor_porter_stem_stage():
     """'happy'/'happiness' align only through the Porter stem stage (both
-    stem to 'happi'; the crude suffix stripper used before round 2 found
-    no match here).  Single match: fmean=1, penalty=0.5*1^3 -> 0.5."""
+    stem to 'happi'), stage weight 0.6: P=R=0.6 -> fmean=0.6; single
+    match in one chunk -> frag=1 -> penalty=gamma=0.6 -> 0.6*0.4."""
     corpus, per = meteor_lite({1: ["happy"]}, {1: ["happiness"]})
-    np.testing.assert_allclose(per[1], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(per[1], 0.6 * (1 - 0.6), rtol=1e-6)
+
+
+def test_meteor_function_word_weighting():
+    """delta=0.75: content words weigh 3x function words in weighted
+    P/R.  Hyp matching only the function word 'the' of the ref scores
+    below a hyp matching only the content word 'cat' (same alignment
+    shape: 1 match, 1 chunk, both one-word hyps)."""
+    _, fn = meteor_lite({1: ["the"]}, {1: ["the cat"]})
+    _, ct = meteor_lite({1: ["cat"]}, {1: ["the cat"]})
+    assert 0 < fn[1] < ct[1]
 
 
 def test_meteor_fragmentation_penalty():
