@@ -768,6 +768,117 @@ def main(args):
             f"{result['mean_rank']:.2f} -> {cons_path}"
         )
 
+    im_mode = getattr(args, "consistency_im", None)
+    if im_mode:
+        # im-consistency analysis (reference im_consistency.py:24-44 is
+        # dormant — it reads classifier .npy outputs its repo never
+        # ships).  Here the classifier labels are PRODUCED live
+        # (evalsuite/im_classifier.py): "projection" reads the engine's
+        # own visual->text top-k projection table (zero extra weights);
+        # "clip" runs zero-shot prompts through a full CLIP checkpoint
+        # (--clip-path; LLaVA checkpoints lack the text tower).
+        if model != "llava-1.5":
+            raise SystemExit(
+                "--consistency-im is defined for llava-1.5 (the "
+                "reference analysis was written against LLaVA captions)"
+            )
+        from ..evalsuite.consistency import image_consistency
+        from ..evalsuite.im_classifier import (
+            class_token_table,
+            coco_class_words,
+            projection_labels,
+        )
+
+        stem = f"llava_{model}_coco_num_images_500_chair_results.json"
+        chair_json = os.path.join(
+            "./results", args.method, f"llava_{model}", "coco", stem
+        )
+        with open(chair_json) as f:
+            cap_dict = json.load(f)
+        class_words = coco_class_words()
+        labels = {}
+        if im_mode == "projection":
+            table = class_token_table(processor.tokenizer, class_words)
+            for rec in deduped:
+                img_file = coco.loadImgs(rec["image_id"])[0]["file_name"]
+                image = Image.open(
+                    os.path.join(args.coco_data_dir, "val2014", img_file)
+                ).convert("RGB")
+                inputs = processor(PROMPTS[model], image)
+                st = engine.prefill(
+                    inputs["input_ids"], inputs["pixel_values"]
+                )
+                labels[rec["image_id"]] = projection_labels(
+                    st.topk_ids[0], table
+                )
+        elif im_mode == "clip":
+            from transformers import CLIPTokenizer
+
+            from ..evalsuite.im_classifier import ClipZeroShot
+            from ..models import clip_text, clip_vit
+            from ..utils.config import ClipTextConfig, ClipVisionConfig
+            from ..utils.hf_io import load_state_dict
+            from ..utils.processor import ClipImagePreprocessor
+
+            if not getattr(args, "clip_path", None):
+                raise SystemExit(
+                    "--consistency-im clip needs --clip-path pointing at "
+                    "a FULL CLIP checkpoint (e.g. openai/clip-vit-large-"
+                    "patch14-336); LLaVA ships only the vision encoder"
+                )
+            sd = load_state_dict(args.clip_path)
+            vcfg = ClipVisionConfig()
+            tcfg = ClipTextConfig()
+            vparams = clip_vit.params_from_hf(vcfg, sd)
+            import numpy as _np
+
+            post_ln = (
+                _np.asarray(sd["vision_model.post_layernorm.weight"]),
+                _np.asarray(sd["vision_model.post_layernorm.bias"]),
+            )
+            vproj = _np.asarray(sd["visual_projection.weight"]).T
+            tparams = clip_text.params_from_hf(tcfg, sd)
+            zs = ClipZeroShot(
+                vcfg, vparams, post_ln, vproj, tcfg, tparams,
+                CLIPTokenizer.from_pretrained(args.clip_path),
+                sorted(class_words),
+            )
+            clip_prep = ClipImagePreprocessor(size=vcfg.image_size)
+            for rec in deduped:
+                img_file = coco.loadImgs(rec["image_id"])[0]["file_name"]
+                image = Image.open(
+                    os.path.join(args.coco_data_dir, "val2014", img_file)
+                ).convert("RGB")
+                labels[rec["image_id"]] = zs.labels(
+                    clip_prep(image)[None]
+                )
+        else:
+            raise SystemExit(
+                f"--consistency-im must be 'projection' or 'clip', "
+                f"got {im_mode!r}"
+            )
+        result = image_consistency(cap_dict, labels)
+        im_path = os.path.join(
+            args.output_dir, f"{args.method}_im_consistency.json"
+        )
+        with open(im_path, "w") as f:
+            json.dump(
+                {
+                    "mode": im_mode,
+                    "consistency": result["consistency"],
+                    "hallucinated": result["hallucinated"],
+                    "labels": {
+                        str(k): sorted(v) for k, v in labels.items()
+                    },
+                },
+                f,
+            )
+        print(
+            f"IM consistency ({im_mode}): {result['consistency']:.3f} of "
+            f"{result['hallucinated']} hallucinated objects also fired "
+            f"in the image classifier -> {im_path}"
+        )
+
     if str2bool(getattr(args, "throne", False)):
         # THRONE-format export + class-wise P/R scoring (the reference's
         # chair2throne converter is missing from its repo, README.md:67)
@@ -822,6 +933,18 @@ def build_parser():
         "hallucinated words (evalsuite/consistency.lm_consistency; the "
         "reference's version is dormant)",
     )
+    p.add_argument(
+        "--consistency-im",
+        type=str,
+        default=None,
+        choices=("projection", "clip"),
+        help="after CHAIR scoring, produce image-classifier labels and "
+        "report im-consistency of hallucinated objects (evalsuite/"
+        "im_classifier.py; the reference's im_consistency.py is dormant)."
+        "  'projection' reads the engine's visual->text top-k table; "
+        "'clip' runs zero-shot over a full CLIP checkpoint (--clip-path)",
+    )
+    p.add_argument("--clip-path", type=str, default=None)
     p.add_argument("--do-sample", type=str2bool, default=False)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-p", type=float, default=1.0)

@@ -92,6 +92,23 @@ class ClipVisionConfig:
 
 
 @dataclass(frozen=True)
+class ClipTextConfig:
+    """CLIP text tower (full-CLIP checkpoints only; used by the optional
+    zero-shot im-consistency classifier — models/clip_text.py.  Defaults
+    are CLIP ViT-L/14's text side)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    projection_dim: int = 768
+
+
+@dataclass(frozen=True)
 class QFormerConfig:
     """InstructBLIP Q-Former (BERT encoder with periodic cross-attention)."""
 
