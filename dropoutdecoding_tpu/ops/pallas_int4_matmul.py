@@ -37,7 +37,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int):
+def _unpack_group(qg_i8, unpack: str):
+    """One packed group [g, BE] i8 -> (lo, hi) bf16 nibble planes.
+
+    Three equivalent decodes of byte = 16*hi + lo_u (two's-complement
+    nibbles) — all BIT-IDENTICAL outputs, different VPU cost profiles:
+
+    - "i32": widen to i32 and use integer shift/mask (shifts only
+      legalize at i32 in Mosaic).  Every op runs on 32-bit lanes — 4x
+      the register traffic of the byte stream.
+    - "i16": same integer identity at i16 — half the lane traffic where
+      Mosaic packs 16-bit ops two per 32-bit lane.
+    - "bf16": ONE int->float convert, then pure bf16 arithmetic:
+      hi = floor(b/16) (exact: |b| <= 128 and the scale is a power of
+      two, both exactly representable), lo_u = b - 16*hi, and the sign
+      fixup lo = lo_u - 16*(lo_u >= 8).  No shifts at all; bf16 ops run
+      on packed 16-bit lanes.
+
+    The winning mode at the 7B decode shape is measured on-chip by
+    cli/int4_probe.py and baked in as UNPACK_DEFAULT below.
+    """
+    if unpack == "i32":
+        qg = qg_i8.astype(jnp.int32)
+        lo = (((qg & 15) ^ 8) - 8).astype(jnp.bfloat16)
+        hi = jnp.right_shift(qg, 4).astype(jnp.bfloat16)
+        return lo, hi
+    if unpack == "i16":
+        qg = qg_i8.astype(jnp.int16)
+        lo = (((qg & jnp.int16(15)) ^ jnp.int16(8)) - jnp.int16(8)).astype(
+            jnp.bfloat16
+        )
+        hi = jnp.right_shift(qg, jnp.int16(4)).astype(jnp.bfloat16)
+        return lo, hi
+    if unpack == "bf16":
+        b = qg_i8.astype(jnp.bfloat16)
+        hi = jnp.floor(b * jnp.bfloat16(0.0625))
+        lo_u = b - jnp.bfloat16(16.0) * hi
+        lo = lo_u - jnp.where(
+            lo_u >= jnp.bfloat16(8.0), jnp.bfloat16(16.0), jnp.bfloat16(0.0)
+        )
+        return lo, hi
+    raise ValueError(f"unknown unpack mode {unpack!r}")
+
+
+# on-chip winner at the 7B decode shapes (cli/int4_probe.py); see the
+# round-5 measurement note in docs/DESIGN.md
+UNPACK_DEFAULT = "i32"
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int, unpack: str):
     # x_ref [BR, D]; q_ref [D2, BE] int8 packed; s_ref [N, BE] f32;
     # o_ref [BR, BE].  Dequant is INTERLEAVED with the dots at group
     # granularity: group gi's dot depends only on group gi's unpack, so
@@ -54,12 +102,7 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int):
     s = s_ref[...]
     acc = jnp.zeros((xv.shape[0], BE), jnp.float32)
     for gi in range(n2):
-        # Mosaic does not legalize i8 shifts (arith.shli); unpack in i32:
-        # hi = floor(q / 16) == signed high nibble (q = 16*hi + lo_u,
-        # arith shift); lo sign-extends via the (x & 15) ^ 8 - 8 identity.
-        qg = q_ref[gi * g : (gi + 1) * g, :].astype(jnp.int32)
-        lo = (((qg & 15) ^ 8) - 8).astype(jnp.bfloat16)
-        hi = jnp.right_shift(qg, 4).astype(jnp.bfloat16)
+        lo, hi = _unpack_group(q_ref[gi * g : (gi + 1) * g, :], unpack)
         ylo = jax.lax.dot_general(
             xv[:, gi * g : (gi + 1) * g],
             lo,
@@ -76,16 +119,17 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _kernel_layered(i_ref, x_ref, q_ref, s_ref, o_ref, *, n2: int):
+def _kernel_layered(i_ref, x_ref, q_ref, s_ref, o_ref, *, n2: int,
+                    unpack: str):
     # i_ref: [1] scalar-prefetch layer index (consumed by the index maps);
     # q_ref/s_ref carry a leading singleton layer axis — view past it and
     # run the exact same dequant + dot body as the sliced kernel.
     del i_ref
-    _kernel(x_ref, q_ref.at[0], s_ref.at[0], o_ref, n2=n2)
+    _kernel(x_ref, q_ref.at[0], s_ref.at[0], o_ref, n2=n2, unpack=unpack)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_e", "block_r", "out_dtype")
+    jax.jit, static_argnames=("block_e", "block_r", "out_dtype", "unpack")
 )
 def int4_matmul_layered(
     l_idx: jax.Array,
@@ -95,6 +139,7 @@ def int4_matmul_layered(
     block_e: int = 512,
     block_r: int = 256,
     out_dtype=None,
+    unpack: str | None = None,
 ):
     """x @ W[l_idx] for a stacked [L, D/2, E] packed-int4 weight.
 
@@ -132,7 +177,9 @@ def int4_matmul_layered(
         out_specs=pl.BlockSpec((br, block_e), lambda e, r, li: (r, e)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_layered, n2=N // 2),
+        functools.partial(
+            _kernel_layered, n2=N // 2, unpack=unpack or UNPACK_DEFAULT
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, E), out_dtype),
     )(jnp.asarray(l_idx, jnp.int32).reshape(1), x2, q4, s4)
@@ -140,7 +187,7 @@ def int4_matmul_layered(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_e", "block_r", "out_dtype")
+    jax.jit, static_argnames=("block_e", "block_r", "out_dtype", "unpack")
 )
 def int4_matmul(
     x: jax.Array,
@@ -149,6 +196,7 @@ def int4_matmul(
     block_e: int = 512,
     block_r: int = 256,
     out_dtype=None,
+    unpack: str | None = None,
 ):
     """x @ W for packed int4 W.
 
@@ -174,7 +222,7 @@ def int4_matmul(
     grid = (-(-E // block_e), -(-R // br))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n2=N // 2),
+        functools.partial(_kernel, n2=N // 2, unpack=unpack or UNPACK_DEFAULT),
         grid=grid,
         in_specs=[
             pl.BlockSpec((br, D), lambda e, r: (r, 0), memory_space=pltpu.VMEM),

@@ -157,6 +157,30 @@ def test_int4_matmul_kernel_matches_dequant(rng, R, D, E, G):
     assert np.max(np.abs(ref - got)) / scale < 1e-2
 
 
+def test_int4_unpack_modes_bit_identical(rng):
+    """The three nibble-decode variants (i32 shift/mask, i16 shift/mask,
+    bf16 floor arithmetic) are BIT-identical on every byte value — the
+    mode is a pure VPU-cost knob (round-5 int4 roofline work), never a
+    numerics knob.  Exercises all 256 byte patterns."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
+
+    D, E = 256, 128
+    all_bytes = np.arange(-128, 128, dtype=np.int8)
+    q4 = jnp.asarray(
+        np.tile(all_bytes, (D // 2) * E // 256).reshape(D // 2, E)
+    )
+    s4 = jnp.asarray(rng.random((2, E)).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.normal(size=(2, D)), jnp.bfloat16)
+    outs = {
+        m: np.asarray(
+            int4_matmul(x, q4, s4, out_dtype=jnp.float32, unpack=m)
+        )
+        for m in ("i32", "i16", "bf16")
+    }
+    np.testing.assert_array_equal(outs["i32"], outs["i16"])
+    np.testing.assert_array_equal(outs["i32"], outs["bf16"])
+
+
 @pytest.mark.parametrize("KH", [2, 8])  # G = 8//KH > 1 and == 1 (MHA)
 def test_layered_int8_decode_attention_matches_xla(rng, KH):
     """The layered kernels (full [L,...] cache in HBM, scalar-prefetch
