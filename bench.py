@@ -744,6 +744,52 @@ def run_once(n_layers):
         del e8
     except NameError:
         pass
+    # spec/int4 locals survive their sections when those raised mid-way
+    # (the in-section dels never ran); drop them here or the Mistral
+    # tower build below can OOM against a stranded cache/tower
+    # per-name try-dels: `del a, b` aborts at the first unbound name,
+    # which would strand the later ones after a mid-section exception
+    # (and exec("del x") cannot touch function locals — see above)
+    try:
+        del spec
+    except NameError:
+        pass
+    try:
+        del spec_eng
+    except NameError:
+        pass
+    try:
+        del st_ng
+    except NameError:
+        pass
+    try:
+        del fused_ng
+    except NameError:
+        pass
+    try:
+        del params_rep
+    except NameError:
+        pass
+    try:
+        del lm_rep
+    except NameError:
+        pass
+    try:
+        del state4
+    except NameError:
+        pass
+    try:
+        del params4
+    except NameError:
+        pass
+    try:
+        del lm4
+    except NameError:
+        pass
+    try:
+        del proto4
+    except NameError:
+        pass
     gc.collect()
 
     from dropoutdecoding_tpu.utils.config import LlamaConfig as _LC
@@ -1325,7 +1371,18 @@ def _preflight_tunnel(deadline_s: float):
         )
         os._exit(3)
     if err:
-        raise err[0]
+        # a crashing probe (e.g. FailedPrecondition while the tunnel's
+        # backend is sick — observed 2026-08-20) is the same
+        # infrastructure failure as a hang: diagnostic line + exit 3,
+        # not a raw traceback the driver's tail parser trips over
+        print(
+            f"PREFLIGHT FAILED: TPU probe raised "
+            f"{type(err[0]).__name__}: {str(err[0])[:300]} — "
+            f"infrastructure, not the benchmark.  Exiting 3.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
     print(
         f"preflight: trivial-program round-trip "
         f"{time.perf_counter() - t0:.1f}s",
