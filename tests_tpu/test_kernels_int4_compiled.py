@@ -54,6 +54,30 @@ def test_int4_matmul_compiled(rng, R, D, E, G):
     assert np.max(np.abs(ref - got)) / scale < 1e-2
 
 
+def test_int4_unpack_modes_compiled_bit_identical(rng):
+    """The three nibble-decode variants (round-5 roofline work:
+    ops/pallas_int4_matmul._unpack_group) are bit-identical ON HARDWARE
+    over all 256 byte patterns — Mosaic's legalization of the i16 ops
+    and the bf16 floor arithmetic must not diverge from the i32 form."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
+
+    D, E = 512, 256
+    all_bytes = np.arange(-128, 128, dtype=np.int8)
+    q4 = jnp.asarray(
+        np.tile(all_bytes, (D // 2) * E // 256).reshape(D // 2, E)
+    )
+    s4 = jnp.asarray(rng.random((4, E)).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.normal(size=(2, D)), jnp.bfloat16)
+    outs = {
+        m: np.asarray(
+            int4_matmul(x, q4, s4, out_dtype=jnp.float32, unpack=m)
+        )
+        for m in ("i32", "i16", "bf16")
+    }
+    np.testing.assert_array_equal(outs["i32"], outs["i16"])
+    np.testing.assert_array_equal(outs["i32"], outs["bf16"])
+
+
 def test_int4_decode_tower_compiled(rng):
     """Full decode_step through an int4-quantized 2-layer tower on TPU:
     the {"q4","s4"} dispatch (models/llama._mm_int4 -> Pallas) agrees with
