@@ -73,18 +73,39 @@ _CACHE_DIR = os.environ.get(
 )
 
 
-def _cache_warm() -> bool:
+def _fingerprint(n_layers: int) -> str:
+    return f"L{n_layers}-T{DECODE_TOKENS}"
+
+
+def _cache_warm(n_layers: int) -> bool:
     """True when the persistent XLA compile cache plausibly covers this
-    file's programs (round-5 verdict item 1b: the cold-cost estimates were
-    stale on a warm cache and budget-starved exactly the family-coverage
-    sections)."""
+    file's programs AT THIS CONFIGURATION (round-5 verdict item 1b: the
+    cold-cost estimates were stale on a warm cache and budget-starved
+    exactly the family-coverage sections).  Entry count alone is not
+    enough: a cache populated at BENCH_LAYERS=32 does not cover a
+    BENCH_LAYERS=16 run (or main()'s OOM-fallback halving), and admitting
+    sections at warm cost while every program compiles cold overruns the
+    budget — the fingerprint file written after each successful run keys
+    warmth to (n_layers, decode_tokens)."""
     try:
-        return len(os.listdir(_CACHE_DIR)) >= 40
+        if len(os.listdir(_CACHE_DIR)) < 40:
+            return False
+        with open(os.path.join(_CACHE_DIR, "BENCH_FPR")) as f:
+            return f.read().strip() == _fingerprint(n_layers)
     except OSError:
         return False
 
 
-WARM = _cache_warm()
+def _mark_cache_warm(n_layers: int):
+    try:
+        with open(os.path.join(_CACHE_DIR, "BENCH_FPR"), "w") as f:
+            f.write(_fingerprint(n_layers))
+    except OSError:
+        pass
+
+
+# set per-configuration in main(); module default is the conservative one
+WARM = False
 
 
 def _need(name: str, cold_s: float, warm_s: float | None = None):
@@ -732,18 +753,8 @@ def run_once(n_layers):
         del state16, k8
     except NameError:
         pass
-    try:
-        del st  # prefill state holds a full cache
-    except NameError:
-        pass
-    try:
-        del stq  # batched-POPE state: B=8 cache
-    except NameError:
-        pass
-    try:
-        del e8
-    except NameError:
-        pass
+    # (st/stq/e8 belong to the prefill/POPE and serving sections, which
+    # now run AFTER this point — round-5 family-first reorder)
     # spec/int4 locals survive their sections when those raised mid-way
     # (the in-section dels never ran); drop them here or the Mistral
     # tower build below can OOM against a stranded cache/tower
@@ -999,6 +1010,40 @@ def run_once(n_layers):
             f"llava-next POPE line skipped: {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+    # unconditional Mistral/NeXT cleanup: a budget-skip or mid-section
+    # raise above must not strand the ~7 GB tower (or the B=8 K=8
+    # ensemble caches) into the EVA/llava sections — the in-section dels
+    # only run on full success (r5 self-review finding)
+    nlm = None
+    try:
+        del nparams
+    except NameError:
+        pass
+    try:
+        del nproto
+    except NameError:
+        pass
+    try:
+        del eng
+    except NameError:
+        pass
+    try:
+        del nstate
+    except NameError:
+        pass
+    try:
+        del xeng
+    except NameError:
+        pass
+    try:
+        del xparams
+    except NameError:
+        pass
+    try:
+        del xproto
+    except NameError:
+        pass
+    gc.collect()
 
     # batched POPE at the REAL InstructBLIP shape: EVA-ViT-g + Q-Former +
     # int8 Vicuna tower; per-row instruction ids (the Q-Former reads the
@@ -1097,6 +1142,25 @@ def run_once(n_layers):
             f"instructblip POPE line skipped: {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+    # unconditional EVA/Vicuna cleanup before the llava rebuild (same
+    # stranding hazard as the Mistral block above)
+    try:
+        del ieng
+    except NameError:
+        pass
+    try:
+        del iparams
+    except NameError:
+        pass
+    try:
+        del ilm
+    except NameError:
+        pass
+    try:
+        del iproto
+    except NameError:
+        pass
+    gc.collect()
 
     # ------------------------------------------------------------------
     # Remaining llava-family sections (prefill/POPE, serving, stretch)
@@ -1336,6 +1400,16 @@ def _record_last_good(headline: dict):
     observed 2026-08-20/21) can still emit a parseable, honestly-labeled
     record instead of only a diagnostic."""
     try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    try:
         with open(_LAST_GOOD, "w") as f:
             json.dump(
                 {
@@ -1343,6 +1417,11 @@ def _record_last_good(headline: dict):
                     "recorded_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%S", time.localtime()
                     ),
+                    "recorded_commit": commit,
+                    "config": {
+                        "layers": int(os.environ.get("BENCH_LAYERS", "32")),
+                        "decode_tokens": DECODE_TOKENS,
+                    },
                 },
                 f,
             )
@@ -1366,7 +1445,21 @@ def _emit_stale_and_exit(reason: str):
         os._exit(3)
     headline["stale"] = True
     headline["recorded_at"] = rec.get("recorded_at")
+    headline["recorded_commit"] = rec.get("recorded_commit")
+    headline["recorded_config"] = rec.get("config")
     headline["stale_reason"] = reason
+    try:
+        import subprocess
+
+        cur = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if cur and rec.get("recorded_commit") and cur != rec["recorded_commit"]:
+            headline["stale_commit_mismatch"] = cur
+    except Exception:
+        pass
     print(
         "NOTE: emitting the last successful on-chip run's headline below, "
         "marked stale=true — the tunnel is dead NOW but the recorded "
@@ -1457,7 +1550,9 @@ def main():
     result = None
     while n_layers >= 2:
         try:
+            globals()["WARM"] = _cache_warm(n_layers)
             result = run_once(n_layers)
+            _mark_cache_warm(n_layers)
             break
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):

@@ -36,9 +36,12 @@ def main(argv=None):
     # persistent compile cache (same dir as bench.py)
     import os
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache")
+    cache = os.environ.get(
+        "BENCH_COMPILE_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"),
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -70,8 +73,10 @@ def main(argv=None):
     print(f"dispatch overhead {rtt * 1000:.1f} ms", file=sys.stderr)
 
     results = []
-    for name, D, E in mats:
-        key = jax.random.key(hash(name) % 2**31)
+    for mi, (name, D, E) in enumerate(mats):
+        # fixed per-matrix seed: Python's str hash is salted per process,
+        # which would make run-to-run GB/s comparisons non-reproducible
+        key = jax.random.key(1000 + mi)
 
         @jax.jit
         def gen(key, D=D, E=E):

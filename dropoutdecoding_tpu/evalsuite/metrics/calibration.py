@@ -89,9 +89,11 @@ def first_sentence(caption: str) -> str:
     whole 100+-word cross-run captions as references saturate the lite
     scorers (every run describes the image similarly -> lite ~0.7 with
     near-zero correlation, measured)."""
-    for sep in (". ", "! ", "? "):
-        if sep in caption:
-            return caption.split(sep, 1)[0] + sep.strip()
+    cuts = [(caption.index(sep), sep) for sep in (". ", "! ", "? ")
+            if sep in caption]
+    if cuts:
+        pos, sep = min(cuts)
+        return caption[:pos] + sep.strip()
     return caption
 
 

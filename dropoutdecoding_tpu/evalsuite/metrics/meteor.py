@@ -16,7 +16,10 @@ the real 1.5 scoring math:
   ships a corpus-derived function-word list; this port uses a standard
   English closed-class list, an approximation);
 - Fmean = P*R / (alpha*P + (1-alpha)*R);
-- Penalty = gamma * (chunks / matches) ** beta  (raw counts);
+- Penalty = gamma * (chunks / matches) ** beta  (raw counts), with the
+  jar's special case: a single chunk covering BOTH strings entirely is
+  penalty-free (without it, beta=0.2 would cap an identical sentence at
+  ~0.6; Meteor scores identical output 1.0);
 - corpus score from SUMMED segment statistics, as the jar aggregates,
   not a mean of per-segment scores.
 
@@ -109,6 +112,11 @@ def _segment_stats(hyp, ref, delta):
     for (i1, j1, _), (i2, j2, _) in zip(pairs, pairs[1:]):
         if not (i2 == i1 + 1 and j2 == j1 + 1):
             chunks += 1
+    # the jar's Aligner zeroes the chunk count when ONE chunk covers both
+    # strings entirely (identical-modulo-stage sentences carry no word-order
+    # penalty); applied here, before stats are summed, as the jar does
+    if chunks == 1 and m == len(hyp) == len(ref):
+        chunks = 0
     return wm_p, tw_h, wm_r, tw_r, m, chunks
 
 
@@ -119,8 +127,8 @@ def _score_from_stats(stats, alpha, beta, gamma):
     prec = wm_p / tw_h
     rec = wm_r / tw_r
     f_mean = prec * rec / (alpha * prec + (1 - alpha) * rec)
-    # the jar treats an everything-in-one-chunk alignment that covers
-    # both strings fully as penalty-free; chunks/m in (0, 1]
+    # chunks == 0 is the penalty-free full-coverage case zeroed in
+    # _segment_stats; 0.0**beta == 0.0
     frag = chunks / m
     penalty = gamma * frag**beta
     return f_mean * (1 - penalty)

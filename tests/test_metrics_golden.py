@@ -139,18 +139,35 @@ def test_cider_length_penalty():
 # ---------------------------------------------------------------- METEOR
 def test_meteor_exact_match_perfect():
     """METEOR-1.5 en-norm params (alpha=.85, beta=.2, gamma=.6): exact
-    self-match gives P=R=1 -> fmean=1; one chunk over 3 matches ->
-    penalty 0.6*(1/3)^0.2."""
+    self-match gives P=R=1 -> fmean=1; the jar's single-chunk
+    full-coverage special case zeroes the fragmentation penalty, so an
+    identical sentence scores exactly 1.0."""
     corpus, per = meteor_lite({1: ["the cat sat"]}, {1: ["the cat sat"]})
-    np.testing.assert_allclose(per[1], 1 - 0.6 * (1 / 3) ** 0.2, rtol=1e-6)
+    np.testing.assert_allclose(per[1], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(corpus, 1.0, rtol=1e-6)
+
+
+def test_meteor_partial_coverage_penalty():
+    """A single chunk that does NOT cover the reference keeps its
+    fragmentation penalty: 'the cat' vs 'the cat sat' has m=2,
+    len(ref)=3 -> frag=(1/2), penalty=0.6*(1/2)^0.2."""
+    _, per = meteor_lite({1: ["the cat"]}, {1: ["the cat sat"]})
+    wm = 0.25 + 0.75  # function 'the' + content 'cat'
+    prec = wm / (0.25 + 0.75)
+    rec = wm / (0.25 + 0.75 + 0.75)
+    fmean = prec * rec / (0.85 * prec + 0.15 * rec)
+    np.testing.assert_allclose(
+        per[1], fmean * (1 - 0.6 * 0.5**0.2), rtol=1e-6
+    )
 
 
 def test_meteor_porter_stem_stage():
     """'happy'/'happiness' align only through the Porter stem stage (both
-    stem to 'happi'), stage weight 0.6: P=R=0.6 -> fmean=0.6; single
-    match in one chunk -> frag=1 -> penalty=gamma=0.6 -> 0.6*0.4."""
+    stem to 'happi'), stage weight 0.6: P=R=0.6 -> fmean=0.6; the
+    single stem match covers both one-word strings, so the jar's
+    full-coverage case zeroes the penalty -> score 0.6."""
     corpus, per = meteor_lite({1: ["happy"]}, {1: ["happiness"]})
-    np.testing.assert_allclose(per[1], 0.6 * (1 - 0.6), rtol=1e-6)
+    np.testing.assert_allclose(per[1], 0.6, rtol=1e-6)
 
 
 def test_meteor_function_word_weighting():
