@@ -1386,6 +1386,51 @@ def run_once(n_layers):
     except Exception as e:
         print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # OPERA beam-3 decode at 7B shape (the round-4 native implementation
+    # had no driver-captured perf line): beam search + over-trust penalty
+    # + retrospection-rollback in one compiled while_loop program
+    # (engine/opera.py; reference chair_test.py:312-323 kwargs).  Lowest
+    # budget priority — runs only after every other section fit.
+    try:
+        _need("opera beam", 80, 30)
+        from dropoutdecoding_tpu.engine.opera import opera_generate
+
+        op_eng = LlavaEngine(
+            cfg=cfg,
+            params=params,
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(
+                max_new_tokens=DECODE_TOKENS, eos_token_id=-1, pad_token_id=0
+            ),
+            max_len=PROMPT_LEN + DECODE_TOKENS + 1,
+            ensemble=False,
+            seed=31,
+            int8_kv=True,
+        )
+        op_state = build_state(op_eng, cfg, jax.random.key(33))
+
+        def run_op():
+            t0 = time.perf_counter()
+            r = opera_generate(
+                op_eng, state=op_state, num_beams=3, scale_factor=50.0,
+                threshold=15, num_attn_candidates=5, penalty_weights=1.0,
+            )
+            return int(r.num_tokens[0]), time.perf_counter() - t0
+
+        run_op()  # compile + cold
+        n_op, wall_op = min((run_op() for _ in range(2)), key=lambda r: r[1])
+        op_tps = n_op / max(wall_op - ov, wall_op / 2)
+        print(
+            f"OPERA beam-3 (nc=5, retrospection on, int8 7B): "
+            f"{op_tps:.2f} t/s (= {op_tps / greedy_tps:.2f}x greedy "
+            f"throughput; {n_op} tokens)",
+            file=sys.stderr, flush=True,
+        )
+        del op_eng, op_state
+    except Exception as e:
+        print(f"opera bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     return greedy_tps, ens_tps, fused_tps, ref_tps, headline
 
 
