@@ -23,7 +23,7 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--modes", nargs="*", default=["i32", "i16", "bf16"])
+    ap.add_argument("--modes", nargs="*", default=["i32", "i16", "bf16", "mxu3"])
     ap.add_argument("--blocks", nargs="*", type=int, default=[512, 1024])
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args(argv)

@@ -85,6 +85,12 @@ def _unpack_group(qg_i8, unpack: str):
 UNPACK_DEFAULT = "i32"
 
 
+def _dot_f32(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int, unpack: str):
     # x_ref [BR, D]; q_ref [D2, BE] int8 packed; s_ref [N, BE] f32;
     # o_ref [BR, BE].  Dequant is INTERLEAVED with the dots at group
@@ -102,19 +108,38 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, *, n2: int, unpack: str):
     s = s_ref[...]
     acc = jnp.zeros((xv.shape[0], BE), jnp.float32)
     for gi in range(n2):
-        lo, hi = _unpack_group(q_ref[gi * g : (gi + 1) * g, :], unpack)
-        ylo = jax.lax.dot_general(
-            xv[:, gi * g : (gi + 1) * g],
-            lo,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        yhi = jax.lax.dot_general(
-            xv[:, D2 + gi * g : D2 + (gi + 1) * g],
-            hi,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        qg = q_ref[gi * g : (gi + 1) * g, :]
+        x_lo = xv[:, gi * g : (gi + 1) * g]
+        x_hi = xv[:, D2 + gi * g : D2 + (gi + 1) * g]
+        if unpack == "mxu3":
+            # MXU-offloaded decode (round-5 int4 roofline work): at the
+            # R=1 decode shape the VPU nibble unpack, not the HBM stream,
+            # bounds the kernel — so spend idle MXU instead of VPU lanes.
+            # Dot linearity on byte = 16*hi + lo_u gives
+            #   x_hi @ hi = (x_hi @ byte - x_hi @ lo_u) / 16
+            # and (lo_u ^ 8) == lo + 8 elementwise (two's-complement
+            # nibble), so
+            #   x_lo @ lo = x_lo @ (lo_u ^ 8) - 8 * sum(x_lo).
+            # VPU work per byte: two int8 bitwise ops + three i8->bf16
+            # converts — no shifts, no compares, no 32-bit widening.
+            # Three [BR,g]x[g,BE] dots instead of two; MXU is ~idle at
+            # BR=8, so the trade is VPU-time for free MXU-time.  NOT
+            # bit-identical to the nibble-plane variants (different f32
+            # summation order); pinned to 5e-3 relative agreement in
+            # tests, far under the int4 quantization error itself.
+            u = qg & jnp.int8(15)
+            ylo = _dot_f32(x_lo, (u ^ jnp.int8(8)).astype(jnp.bfloat16))
+            ylo = ylo - 8.0 * jnp.sum(
+                x_lo.astype(jnp.float32), axis=1, keepdims=True
+            )
+            yhi = (
+                _dot_f32(x_hi, qg.astype(jnp.bfloat16))
+                - _dot_f32(x_hi, u.astype(jnp.bfloat16))
+            ) * 0.0625
+        else:
+            lo, hi = _unpack_group(qg, unpack)
+            ylo = _dot_f32(x_lo, lo)
+            yhi = _dot_f32(x_hi, hi)
         acc = acc + ylo * s[gi][None, :] + yhi * s[n2 + gi][None, :]
     o_ref[...] = acc.astype(o_ref.dtype)
 

@@ -181,6 +181,27 @@ def test_int4_unpack_modes_bit_identical(rng):
     np.testing.assert_array_equal(outs["i32"], outs["bf16"])
 
 
+def test_int4_unpack_mxu3_close(rng):
+    """The MXU-offloaded decode (three dots on byte/masked planes plus a
+    per-group row-sum correction — see _kernel) is NOT bit-identical
+    (different f32 summation order) but must agree to well under the
+    int4 quantization error on every byte value."""
+    from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
+
+    D, E = 256, 128
+    all_bytes = np.arange(-128, 128, dtype=np.int8)
+    q4 = jnp.asarray(
+        np.tile(all_bytes, (D // 2) * E // 256).reshape(D // 2, E)
+    )
+    s4 = jnp.asarray(rng.random((2, E)).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.normal(size=(2, D)), jnp.bfloat16)
+    ref = np.asarray(int4_matmul(x, q4, s4, out_dtype=jnp.float32, unpack="i32"))
+    got = np.asarray(
+        int4_matmul(x, q4, s4, out_dtype=jnp.float32, unpack="mxu3")
+    )
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.parametrize("KH", [2, 8])  # G = 8//KH > 1 and == 1 (MHA)
 def test_layered_int8_decode_attention_matches_xla(rng, KH):
     """The layered kernels (full [L,...] cache in HBM, scalar-prefetch
