@@ -541,7 +541,11 @@ def run_once(n_layers):
         _need("int4 tier", 110, 50)
         from dropoutdecoding_tpu.utils.synthetic import synthetic_int4_lm
 
-        lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12))
+        # fused qkv/gate_up leaves (generated directly in fused layout —
+        # no concat transient): 4 layered-kernel calls per layer instead
+        # of 7, each ~5 us of per-call overhead at 0.3-1.4 ms of stream
+        # (cli/int4_probe.py round-5 measurements)
+        lm4 = synthetic_int4_lm(cfg.text, jax.random.key(12), fused=True)
         proto4 = jax.jit(
             lambda k: llava_mod.init_params(proto_cfg, k, jnp.bfloat16)
         )(jax.random.key(13))

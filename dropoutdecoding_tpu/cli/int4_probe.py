@@ -23,9 +23,19 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--modes", nargs="*", default=["i32", "i16", "bf16", "mxu3"])
+    ap.add_argument("--modes", nargs="*", default=["i32", "mxu3"],
+                help="i16/bf16 fail Mosaic legalization on real hardware (arith.shrsi / the bf16 floor path) — interpret-only")
     ap.add_argument("--blocks", nargs="*", type=int, default=[512, 1024])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="probe the fuse_projections leaf shapes")
+    ap.add_argument(
+        "--inner-reps", type=int, default=50,
+        help="times the full layer stack is streamed INSIDE one program: "
+             "per-stack device time (0.5-1.5 ms at 7B shapes) is far "
+             "below the ~25 ms tunnel round-trip, so a single-pass "
+             "program measures the tunnel, not the kernel",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -51,11 +61,20 @@ def main(argv=None):
     L = args.layers
     GROUP = 128
     # 7B decode matrices: (name, D, E)
-    mats = [
-        ("qo_proj", 4096, 4096),
-        ("gateup", 4096, 11008),
-        ("down", 11008, 4096),
-    ]
+    if args.fused:
+        # fuse_projections layout (qkv / gate_up fused leaves)
+        mats = [
+            ("qkv", 4096, 12288),
+            ("gate_up", 4096, 22016),
+            ("o", 4096, 4096),
+            ("down", 11008, 4096),
+        ]
+    else:
+        mats = [
+            ("qo_proj", 4096, 4096),
+            ("gateup", 4096, 11008),
+            ("down", 11008, 4096),
+        ]
 
     def fetch(x):
         return np.asarray(x)
@@ -92,10 +111,18 @@ def main(argv=None):
         fetch(x)
         stream_gb = q4.nbytes / 1e9
 
-        # raw-stream bound proxy: int8 -> i32 sum over the whole stack
+        # raw-stream bound proxy: per-layer int8 -> i32 sums, the stack
+        # streamed inner-reps times in ONE program.  The layer index is
+        # loop-dependent (lax.rem), so the per-iteration operand differs
+        # and XLA cannot hoist the reduction out of the loop.
+        R = args.inner_reps
+
         @jax.jit
         def stream_sum(q):
-            return jnp.sum(q.astype(jnp.int32))
+            def body(i, acc):
+                return acc + jnp.sum(q[jax.lax.rem(i, L)].astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, L * R, body, jnp.int32(0))
 
         fetch(stream_sum(q4))
         best = min(
@@ -103,22 +130,23 @@ def main(argv=None):
                          time.perf_counter() - t0)[1])(time.perf_counter())
             for _ in range(args.repeats)
         )
-        bound = stream_gb / max(best - rtt, best / 2)
+        bound = R * stream_gb / max(best - rtt, best / 2)
         print(f"{name}: stream-sum bound {bound:.0f} GB/s "
-              f"({stream_gb:.2f} GB)", file=sys.stderr, flush=True)
+              f"({stream_gb:.2f} GB x {R})", file=sys.stderr, flush=True)
 
         for mode in args.modes:
             for be in args.blocks:
 
                 @jax.jit
                 def run_all(x, q, s, mode=mode, be=be):
-                    def body(li, acc):
+                    def body(i, acc):
                         y = int4_matmul_layered(
-                            li, x, q, s, block_e=be, unpack=mode
+                            jax.lax.rem(i, L), x, q, s,
+                            block_e=be, unpack=mode,
                         )
                         return acc + jnp.sum(y)
 
-                    return jax.lax.fori_loop(0, L, body, jnp.float32(0))
+                    return jax.lax.fori_loop(0, L * R, body, jnp.float32(0))
 
                 try:
                     fetch(run_all(x, q4, s4))  # compile + cold
@@ -130,10 +158,10 @@ def main(argv=None):
                         for _ in range(args.repeats)
                     )
                     eff = max(bt - rtt, bt / 2)
-                    gbps = stream_gb / eff
+                    gbps = R * stream_gb / eff
                     print(
                         f"{name} unpack={mode} block_e={be}: "
-                        f"{eff * 1000:.2f} ms = {gbps:.0f} GB/s "
+                        f"{eff * 1000 / R:.2f} ms/stack = {gbps:.0f} GB/s "
                         f"({100 * gbps / bound:.0f}% of stream bound)",
                         file=sys.stderr, flush=True,
                     )

@@ -56,6 +56,12 @@ def _unpack_group(qg_i8, unpack: str):
 
     The winning mode at the 7B decode shape is measured on-chip by
     cli/int4_probe.py and baked in as UNPACK_DEFAULT below.
+
+    HARDWARE STATUS (2026-08-21, v5e via axon): i16 FAILS Mosaic
+    legalization (`arith.shrsi` has no i16 lowering) and the bf16 floor
+    path crashes the remote compiler; both remain interpret-mode-only,
+    pinned bit-identical to i32 in the CPU suite.  On hardware the
+    compilable decodes are i32 and the mxu3 form in _kernel.
     """
     if unpack == "i32":
         qg = qg_i8.astype(jnp.int32)
@@ -80,9 +86,21 @@ def _unpack_group(qg_i8, unpack: str):
     raise ValueError(f"unknown unpack mode {unpack!r}")
 
 
-# on-chip winner at the 7B decode shapes (cli/int4_probe.py); see the
-# round-5 measurement note in docs/DESIGN.md
-UNPACK_DEFAULT = "i32"
+# on-chip winner at the 7B decode shapes (cli/int4_probe.py, 2026-08-21,
+# 50-stack amortized programs): mxu3 + block_e heuristic below beats
+# i32 + 512 on every production matrix — qo 406->431 GB/s, gateup
+# 475->508, down 511->522.  i16/bf16 FAIL Mosaic compilation on real
+# hardware at these shapes (remote-compile crash; they remain
+# interpret-mode-verified decodes).  See docs/DESIGN.md §15.
+UNPACK_DEFAULT = "mxu3"
+
+
+def _default_block_e(D2: int, E: int) -> int:
+    """Measured block heuristic (cli/int4_probe.py): wide-output matmuls
+    (qkv/gate_up, E >= D) stream best at block_e=1024; the tall down
+    projection (D > E) at 512 (its [D/2, block] blocks are 2.75 MB at 7B
+    — the 1024 block leaves too little VMEM for pipeline depth)."""
+    return 512 if 2 * D2 > E else 1024
 
 
 def _dot_f32(a, b):
@@ -161,7 +179,7 @@ def int4_matmul_layered(
     x: jax.Array,
     q4: jax.Array,
     s4: jax.Array,
-    block_e: int = 512,
+    block_e: int | None = None,
     block_r: int = 256,
     out_dtype=None,
     unpack: str | None = None,
@@ -187,6 +205,7 @@ def int4_matmul_layered(
         R *= d
     x2 = x.reshape(R, D)
     out_dtype = out_dtype or x.dtype
+    block_e = block_e or _default_block_e(D2, E)
 
     br = min(block_r, max(8, -(-R // 8) * 8))
     grid = (-(-E // block_e), -(-R // br))
@@ -218,7 +237,7 @@ def int4_matmul(
     x: jax.Array,
     q4: jax.Array,
     s4: jax.Array,
-    block_e: int = 512,
+    block_e: int | None = None,
     block_r: int = 256,
     out_dtype=None,
     unpack: str | None = None,
@@ -242,6 +261,7 @@ def int4_matmul(
         R *= d
     x2 = x.reshape(R, D)
     out_dtype = out_dtype or x.dtype
+    block_e = block_e or _default_block_e(D2, E)
 
     br = min(block_r, max(8, -(-R // 8) * 8))
     grid = (-(-E // block_e), -(-R // br))

@@ -66,10 +66,15 @@ def synthetic_int8_lm(cfg, key):
     return gen(key)
 
 
-def synthetic_int4_lm(cfg, key):
+def synthetic_int4_lm(cfg, key, fused: bool = False):
     """Llama params with projections + lm_head generated DIRECTLY in the
     packed int4 layout ({"q4", "s4"}, utils/quantize.quantize_matrix_int4):
-    ~3.5 GB at 7B shape, the half-of-int8 decode weight stream."""
+    ~3.5 GB at 7B shape, the half-of-int8 decode weight stream.
+
+    ``fused=True`` emits the qkv_proj / gate_up_proj fused leaves
+    (utils/quantize.fuse_projections layout) directly — generating fused
+    avoids the ~3.5 GB concat transient fuse_projections would allocate
+    next to a live tower on a 16 GB chip."""
     import jax
     import jax.numpy as jnp
 
@@ -114,14 +119,18 @@ def synthetic_int4_lm(cfg, key):
         layers = {
             "input_ln": jnp.ones((L, D), jnp.bfloat16),
             "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
-            "q_proj": qmat((L, D, H * Dh)),
-            "k_proj": qmat((L, D, KH * Dh)),
-            "v_proj": qmat((L, D, KH * Dh)),
             "o_proj": qmat((L, H * Dh, D)),
-            "gate_proj": qmat((L, D, I)),
-            "up_proj": qmat((L, D, I)),
             "down_proj": qmat((L, I, D)),
         }
+        if fused:
+            layers["qkv_proj"] = qmat((L, D, (H + 2 * KH) * Dh))
+            layers["gate_up_proj"] = qmat((L, D, 2 * I))
+        else:
+            layers["q_proj"] = qmat((L, D, H * Dh))
+            layers["k_proj"] = qmat((L, D, KH * Dh))
+            layers["v_proj"] = qmat((L, D, KH * Dh))
+            layers["gate_proj"] = qmat((L, D, I))
+            layers["up_proj"] = qmat((L, D, I))
         emb = (
             0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
         ).astype(jnp.bfloat16)

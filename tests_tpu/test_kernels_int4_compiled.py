@@ -55,10 +55,14 @@ def test_int4_matmul_compiled(rng, R, D, E, G):
 
 
 def test_int4_unpack_modes_compiled_bit_identical(rng):
-    """The three nibble-decode variants (round-5 roofline work:
-    ops/pallas_int4_matmul._unpack_group) are bit-identical ON HARDWARE
-    over all 256 byte patterns — Mosaic's legalization of the i16 ops
-    and the bf16 floor arithmetic must not diverge from the i32 form."""
+    """The HARDWARE-compilable decode variants over all 256 byte
+    patterns: i32 (shift/mask reference) and mxu3 (the production
+    default — MXU-offloaded, close but not bit-identical: different f32
+    summation order).  i16 and bf16 are interpret-mode-only on the
+    current toolchain — Mosaic fails to legalize `arith.shrsi` at i16
+    and crashes on the bf16 floor path (measured 2026-08-21,
+    cli/int4_probe.py + this suite); they stay pinned bit-identical in
+    the CPU interpret suite (tests/test_pallas_kernels.py)."""
     from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
 
     D, E = 512, 256
@@ -72,12 +76,8 @@ def test_int4_unpack_modes_compiled_bit_identical(rng):
         m: np.asarray(
             int4_matmul(x, q4, s4, out_dtype=jnp.float32, unpack=m)
         )
-        for m in ("i32", "i16", "bf16", "mxu3")
+        for m in ("i32", "mxu3")
     }
-    np.testing.assert_array_equal(outs["i32"], outs["i16"])
-    np.testing.assert_array_equal(outs["i32"], outs["bf16"])
-    # mxu3 (MXU-offloaded decode) is close, not bit-identical: different
-    # f32 summation order (byte/masked-plane dots + row-sum correction)
     np.testing.assert_allclose(outs["mxu3"], outs["i32"], rtol=5e-3,
                                atol=5e-3)
 
