@@ -127,6 +127,39 @@ def test_engine_generate_identical_with_fused_leaves(tiny_llava):
     np.testing.assert_array_equal(split.tokens, fused.tokens)
 
 
+def test_engine_generate_identical_with_fused_int4_int8kv(tiny_llava):
+    """The bench/deployment int4 configuration end-to-end: packed-int4
+    fused qkv/gate_up leaves + int8 KV cache through full ensemble
+    generate, token-identical to the split-leaf int4 tower."""
+    from dropoutdecoding_tpu.engine.generate import LlavaEngine
+    from dropoutdecoding_tpu.utils.config import (
+        EnsembleConfig,
+        GenerationConfig,
+    )
+
+    _, cfg, params, input_ids, _, pixels = tiny_llava
+    lm4 = quantize_llama_params_int4(params.lm, group_size=16)
+
+    def mk(lm):
+        e = LlavaEngine(
+            cfg=cfg,
+            params=params._replace(lm=lm),
+            ens=EnsembleConfig(),
+            gen=GenerationConfig(
+                max_new_tokens=8, eos_token_id=63, pad_token_id=63
+            ),
+            max_len=64,
+            ensemble=True,
+            int8_kv=True,
+        )
+        e.param_dtype = jnp.float32
+        return e
+
+    split = mk(lm4).generate(input_ids, pixels)
+    fused = mk(fuse_projections(lm4)).generate(input_ids, pixels)
+    np.testing.assert_array_equal(split.tokens, fused.tokens)
+
+
 def test_tp_shard_rejects_fused():
     from dropoutdecoding_tpu.models import llava as llava_mod
     from dropoutdecoding_tpu.parallel.mesh import make_mesh, shard_llava_params
