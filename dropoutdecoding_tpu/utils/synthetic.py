@@ -9,10 +9,12 @@ int8 tower is generated directly in the utils/quantize layout so the bf16
 from __future__ import annotations
 
 
-def synthetic_int8_lm(cfg, key):
+def synthetic_int8_lm(cfg, key, fused: bool = False):
     """Llama params with the projections + lm_head generated DIRECTLY in
     int8 ({"q", "s"} utils/quantize layout).  Scales put the dequantized
-    std at a realistic ~0.02.
+    std at a realistic ~0.02.  ``fused=True`` emits the qkv_proj /
+    gate_up_proj fused leaves (utils/quantize.fuse_projections layout)
+    directly, avoiding the concat transient on a full chip.
 
     The whole tower is emitted by ONE jitted program built on
     ``jax.random.bits`` (bitcast to int8): at the 7B shape the round-3
@@ -45,14 +47,18 @@ def synthetic_int8_lm(cfg, key):
         layers = {
             "input_ln": jnp.ones((L, D), jnp.bfloat16),
             "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
-            "q_proj": qmat((L, D, H * Dh)),
-            "k_proj": qmat((L, D, KH * Dh)),
-            "v_proj": qmat((L, D, KH * Dh)),
             "o_proj": qmat((L, H * Dh, D)),
-            "gate_proj": qmat((L, D, I)),
-            "up_proj": qmat((L, D, I)),
             "down_proj": qmat((L, I, D)),
         }
+        if fused:
+            layers["qkv_proj"] = qmat((L, D, (H + 2 * KH) * Dh))
+            layers["gate_up_proj"] = qmat((L, D, 2 * I))
+        else:
+            layers["q_proj"] = qmat((L, D, H * Dh))
+            layers["k_proj"] = qmat((L, D, KH * Dh))
+            layers["v_proj"] = qmat((L, D, KH * Dh))
+            layers["gate_proj"] = qmat((L, D, I))
+            layers["up_proj"] = qmat((L, D, I))
         emb = (
             0.02 * jax.random.normal(next(ks), (V, D), jnp.float32)
         ).astype(jnp.bfloat16)
