@@ -1396,7 +1396,10 @@ def run_once(n_layers):
     # (engine/opera.py; reference chair_test.py:312-323 kwargs).  Lowest
     # budget priority — runs only after every other section fit.
     try:
-        _need("opera beam", 80, 30)
+        # the OPERA search program (beam fwd + candidate scoring +
+        # rollback recompute in one while_loop) is the biggest compile in
+        # this file — budget it pessimistically; it runs last anyway
+        _need("opera beam", 150, 40)
         from dropoutdecoding_tpu.engine.opera import opera_generate
 
         op_eng = LlavaEngine(
