@@ -1596,8 +1596,15 @@ def main():
 
     import jax
 
-    _enable_compile_cache()
-    _preflight_tunnel(float(os.environ.get("BENCH_PREFLIGHT_S", "450")))
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # structural smoke mode: run the whole section flow on the host
+        # CPU (tiny BENCH_LAYERS/BENCH_DECODE_TOKENS recommended).  The
+        # container force-registers the axon TPU plugin, so this must be
+        # a config update, not JAX_PLATFORMS; no tunnel preflight.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _enable_compile_cache()
+        _preflight_tunnel(float(os.environ.get("BENCH_PREFLIGHT_S", "450")))
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     result = None
     while n_layers >= 2:
@@ -1631,7 +1638,10 @@ def main():
     # the driver extracts `parsed` from the END of the captured output:
     # re-print the same headline JSON (already printed right after the
     # core measurements) as the final line — belt and braces
-    _record_last_good(headline)
+    if not os.environ.get("BENCH_FORCE_CPU"):
+        # a forced-CPU structural smoke must not poison the on-chip
+        # last-good record the stale-emission path replays
+        _record_last_good(headline)
     print(json.dumps(headline), flush=True)
 
 
