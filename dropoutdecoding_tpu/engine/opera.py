@@ -50,24 +50,26 @@ def _opera_runner(engine, nb, nc, scale_factor, threshold,
     cfg = engine.cfg
     eos = gen.eos_token_id
     pad = gen.pad_token_id
-    params = engine.params
     max_iters = T * (1 + max_rollbacks)
     all_live = jnp.ones((nb,), bool)
 
+    # lm params are a TRACED argument, not a closure capture: closing
+    # over them bakes the whole tower into the program as constants
+    # (measured: 6.88 GB captured during lowering at 7B, >18 min compile)
     @jax.jit
-    def run(cache0, prompt_logits, prompt_len):
+    def run(lm, cache0, prompt_logits, prompt_len):
         Smax = jax.tree.leaves(cache0)[0].shape[2]
 
         def fwd(cache, tok, pos_scalar, rows):
             """decode_step_attn over `rows` flat rows; mask = < pos."""
-            x = llama_mod.embed(params.lm, tok)  # [rows, D]
+            x = llama_mod.embed(lm, tok)  # [rows, D]
             pos = jnp.full((rows,), pos_scalar, jnp.int32)
             key_mask = jnp.arange(Smax)[None, :] < pos_scalar
             key_mask = jnp.broadcast_to(key_mask, (rows, Smax))
             h, k_new, v_new, attn = llama_mod.decode_step_attn(
-                params.lm, cfg.text, x, pos, cache, key_mask
+                lm, cfg.text, x, pos, cache, key_mask
             )
-            logits = llama_mod.lm_head(params.lm, h)  # [rows, V]
+            logits = llama_mod.lm_head(lm, h)  # [rows, V]
             return logits, k_new, v_new, attn
 
         def cand_phi(attn_log_beams, cand_logrow, step):
@@ -400,7 +402,7 @@ def opera_generate(
     )
     prompt_len = state.cur_len.astype(jnp.int32)[0]
     tokens, _total_rb = runners[key](
-        cache0, state.last_logits[0], prompt_len
+        engine.params.lm, cache0, state.last_logits[0], prompt_len
     )
     pad = engine.gen.pad_token_id
     tokens = np.asarray(tokens)[None]
