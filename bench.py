@@ -1396,10 +1396,10 @@ def run_once(n_layers):
     # (engine/opera.py; reference chair_test.py:312-323 kwargs).  Lowest
     # budget priority — runs only after every other section fit.
     try:
-        # the OPERA search program (beam fwd + candidate scoring +
-        # rollback recompute in one while_loop) is the biggest compile in
-        # this file — budget it pessimistically; it runs last anyway
-        _need("opera beam", 150, 40)
+        # measured cold compile+run 21.4 s at 7B once the runner threads
+        # lm params as an argument (closure capture had baked 6.88 GB of
+        # constants into the program and compiled >18 min)
+        _need("opera beam", 90, 35)
         from dropoutdecoding_tpu.engine.opera import opera_generate
 
         op_eng = LlavaEngine(
