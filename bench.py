@@ -485,6 +485,11 @@ def run_once(n_layers):
         "decode_tokens": DECODE_TOKENS,
         "dispatch_overhead_ms": round(ov * 1000, 1),
     }
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # a structural smoke's numbers are host-CPU rates — mark them
+        # in-band so a tail-parsing driver can never mistake them for an
+        # on-chip record (symmetric with the stale-emission marker)
+        headline["force_cpu"] = True
     print(json.dumps(headline), flush=True)
 
     # fused single-stream mode (lagged overlap; EnsembleConfig.fused_step)
@@ -754,7 +759,8 @@ def run_once(n_layers):
     except NameError:
         pass
     try:
-        del state16, k8
+        del k8e  # K=8 single-stream engine (state16/k8 are stretch-only,
+        # defined AFTER this point)
     except NameError:
         pass
     # (st/stq/e8 belong to the prefill/POPE and serving sections, which
@@ -1390,6 +1396,19 @@ def run_once(n_layers):
     except Exception as e:
         print(f"stretch config skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # free the stretch tier's B=16 cache (~2.6 GB) + engine before OPERA
+    # allocates its beam cache — same stranding hazard as the tower
+    # handoffs above
+    try:
+        del k8
+    except NameError:
+        pass
+    try:
+        del state16
+    except NameError:
+        pass
+    gc.collect()
+
     # OPERA beam-3 decode at 7B shape (the round-4 native implementation
     # had no driver-captured perf line): beam search + over-trust penalty
     # + retrospection-rollback in one compiled while_loop program
@@ -1611,7 +1630,10 @@ def main():
         try:
             globals()["WARM"] = _cache_warm(n_layers)
             result = run_once(n_layers)
-            _mark_cache_warm(n_layers)
+            if not os.environ.get("BENCH_FORCE_CPU"):
+                # a CPU smoke compiled no TPU programs — it must not
+                # write (or clobber) the TPU cache-warmth fingerprint
+                _mark_cache_warm(n_layers)
             break
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):

@@ -158,10 +158,13 @@ def test_int4_matmul_kernel_matches_dequant(rng, R, D, E, G):
 
 
 def test_int4_unpack_modes_bit_identical(rng):
-    """The three nibble-decode variants (i32 shift/mask, i16 shift/mask,
-    bf16 floor arithmetic) are BIT-identical on every byte value — the
-    mode is a pure VPU-cost knob (round-5 int4 roofline work), never a
-    numerics knob.  Exercises all 256 byte patterns."""
+    """The three nibble-PLANE decode variants (i32 shift/mask, i16
+    shift/mask, bf16 floor arithmetic) are BIT-identical on every byte
+    value.  NOTE: the shipped production default is the fourth variant,
+    mxu3, which is close-but-not-bit-identical (different f32 summation
+    order — see test_int4_unpack_mxu3_close); bit-parity across modes
+    holds only within this plane family.  Exercises all 256 byte
+    patterns."""
     from dropoutdecoding_tpu.ops.pallas_int4_matmul import int4_matmul
 
     D, E = 256, 128
