@@ -675,9 +675,18 @@ class LlavaEngine:
             vw = jnp.take_along_axis(
                 va, (winner + 1)[None, :, None, None, None], axis=2
             )[:, :, 0]
-            winner_logits = jnp.take_along_axis(
-                logits_k, winner[:, None, None], axis=1
-            )[:, 0]
+            if ens.use_avg:
+                # the reference substitutes the member-AVERAGE into
+                # outputs[0] (llava.py:37-52), so sampling and the
+                # text-mask stats must see the averaged logits, not
+                # member 0's raw ones (the propagated KV stays member 0's)
+                winner_logits = jnp.mean(
+                    logits_k.astype(jnp.float32), axis=1
+                )
+            else:
+                winner_logits = jnp.take_along_axis(
+                    logits_k, winner[:, None, None], axis=1
+                )[:, 0]
             if self.gen.do_sample:
                 # HF sample(): multinomial over the forward's returned
                 # (= vote-winner) logits; masks/overlap stay on argmax
@@ -726,9 +735,17 @@ class LlavaEngine:
                 vw = jnp.take_along_axis(
                     vk, winner[None, :, None, None, None], axis=2
                 )[:, :, 0]
-                winner_logits = jnp.take_along_axis(
-                    logits_k, winner[:, None, None], axis=1
-                )[:, 0]
+                if ens.use_avg:
+                    # see the fused path: the reference's average
+                    # substitution means downstream consumers read the
+                    # averaged logits (llava.py:37-52)
+                    winner_logits = jnp.mean(
+                        logits_k.astype(jnp.float32), axis=1
+                    )
+                else:
+                    winner_logits = jnp.take_along_axis(
+                        logits_k, winner[:, None, None], axis=1
+                    )[:, 0]
                 if self.gen.do_sample:
                     next_token = self._sample_rows(
                         steps, state.rng_id, winner_logits
@@ -782,6 +799,13 @@ class LlavaEngine:
             prob=jnp.zeros((B, T), jnp.float32),
             ent=jnp.zeros((B, T), jnp.float32),
             vent=jnp.zeros((B, T), jnp.float32),
+        )
+        # entry 0 holds the stats of the forward that EMITTED token 0 —
+        # the prefill (reference llava.py:366-369 records every emitting
+        # step); without this seed the first generated token's cache slot
+        # is never text-maskable (pinned-attend under the entropy policy)
+        tm0 = _record_text_stats(
+            tm0, jnp.zeros((B,), jnp.int32), state.last_logits
         )
 
         carry = (
@@ -853,16 +877,11 @@ class LlavaEngine:
             self.params, jnp.asarray(prefix_ids), jnp.asarray(pixel_values)
         )
         if self.int8_prefix_cache:
-            from ..utils.quantize import quantize_kv
-
-            def q(x):
-                d = quantize_kv(x)
-                return {
-                    "q": d["q"].reshape(d["q"].shape[:-2] + (-1,)),
-                    "s": jnp.swapaxes(d["s"][..., 0], 2, 3),
-                }
-
-            kv = llama_mod.KVCache(q(kv.k), q(kv.v))
+            # layout contract lives in models/llama (KVCache docstring)
+            kv = llama_mod.KVCache(
+                llama_mod.kv_int8_reader_layout(kv.k),
+                llama_mod.kv_int8_reader_layout(kv.v),
+            )
         return kv
 
     def probe_extend(self, prefix_kv, tail_ids, text_lens=None) -> ProbeResult:
@@ -878,6 +897,17 @@ class LlavaEngine:
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:
         state = self.prefill(input_ids, pixel_values)
+        # KV-capacity check: each of the T-1 decode steps appends one row
+        # at cur_len; an overflowing write is SILENTLY dropped (dense
+        # `.at[].set` out-of-bounds) or clamp-overwrites recent KV (int8
+        # Pallas row append), corrupting output with no error
+        longest = int(np.max(np.asarray(state.cur_len)))
+        if longest + self.gen.max_new_tokens - 1 > self.max_len:
+            raise ValueError(
+                f"prompt ({longest} tokens) + max_new_tokens "
+                f"({self.gen.max_new_tokens}) - 1 exceeds the KV capacity "
+                f"max_len={self.max_len}; raise max_len or lower the budget"
+            )
         tokens, steps, _ = self._decode_d(
             self.params, state.cache, state._replace(cache=None)
         )

@@ -150,6 +150,12 @@ class DecodeServer:
             emit = ps.first_token[row]
         first_done = emit == self.engine.gen.eos_token_id
         buf = jnp.full((T,), self.engine.gen.pad_token_id, jnp.int32)
+        # tm entry 0 = stats of the prefill forward that emitted token 0
+        # (matches solo generate()'s seed; reference llava.py:366-369)
+        from ..ops.uncertainty import entropy_varentropy as _ev
+
+        ent0, vent0 = _ev(ps.last_logits[row])
+        prob0 = 1.0 / jnp.max(ps.last_logits[row])
         new_carry = dict(
             cur_len=carry["cur_len"].at[slot].set(ps.cur_len[row]),
             token=carry["token"].at[slot].set(emit),
@@ -157,9 +163,9 @@ class DecodeServer:
             done=carry["done"].at[slot].set(first_done),
             tokens_buf=carry["tokens_buf"].at[slot].set(buf.at[0].set(emit)),
             tm=TextMaskState(
-                carry["tm"].prob.at[slot].set(0.0),
-                carry["tm"].ent.at[slot].set(0.0),
-                carry["tm"].vent.at[slot].set(0.0),
+                carry["tm"].prob.at[slot].set(0.0).at[slot, 0].set(prob0),
+                carry["tm"].ent.at[slot].set(0.0).at[slot, 0].set(ent0),
+                carry["tm"].vent.at[slot].set(0.0).at[slot, 0].set(vent0),
             ),
             prev_argmax0=carry["prev_argmax0"].at[slot].set(ps.first_token[row]),
             prev_logits0=(
@@ -211,6 +217,10 @@ class DecodeServer:
         first_done = emit == eng.gen.eos_token_id
         bufs = jnp.full((Bn, T), eng.gen.pad_token_id, jnp.int32)
         bufs = bufs.at[:, 0].set(emit)
+        # tm entry 0 = prefill-forward stats (see _place)
+        from ..ops.uncertainty import entropy_varentropy as _ev
+
+        _ents, _vents = jax.vmap(_ev)(ps.last_logits)
         new_carry = dict(
             cur_len=carry["cur_len"].at[slots].set(ps.cur_len),
             token=carry["token"].at[slots].set(emit),
@@ -218,9 +228,10 @@ class DecodeServer:
             done=carry["done"].at[slots].set(first_done),
             tokens_buf=carry["tokens_buf"].at[slots].set(bufs),
             tm=TextMaskState(
-                carry["tm"].prob.at[slots].set(0.0),
-                carry["tm"].ent.at[slots].set(0.0),
-                carry["tm"].vent.at[slots].set(0.0),
+                carry["tm"].prob.at[slots].set(0.0)
+                .at[slots, 0].set(1.0 / jnp.max(ps.last_logits, axis=-1)),
+                carry["tm"].ent.at[slots].set(0.0).at[slots, 0].set(_ents),
+                carry["tm"].vent.at[slots].set(0.0).at[slots, 0].set(_vents),
             ),
             prev_argmax0=carry["prev_argmax0"].at[slots].set(ps.first_token),
             prev_logits0=(
@@ -254,6 +265,15 @@ class DecodeServer:
             raise RuntimeError("no free slots; call step()/harvest() first")
         slot = slots[0]
         ps = self.engine.prefill(*prefill_args)
+        # same KV-capacity guard as LlavaEngine.generate: an overflowing
+        # append is silently dropped/clamped, not an error
+        longest = int(np.max(np.asarray(ps.cur_len)))
+        if longest + self.engine.gen.max_new_tokens - 1 > self.engine.max_len:
+            raise ValueError(
+                f"prompt ({longest} tokens) + max_new_tokens "
+                f"({self.engine.gen.max_new_tokens}) - 1 exceeds "
+                f"max_len={self.engine.max_len}"
+            )
         ps = ps._replace(uncertainty={})  # diagnostics dict stays host-side
         self._place(ps, slot, request_id)
         self._set_budget(slot, max_new_tokens)

@@ -133,6 +133,21 @@ def _quantize_new(cache: KVCache, k_new: jax.Array, v_new: jax.Array):
     return flat(quantize_kv(k_new)), flat(quantize_kv(v_new))
 
 
+def kv_int8_reader_layout(x: jax.Array) -> dict:
+    """Quantize a dense K or V span ([..., S, KH, D]) into the int8
+    READER layout this module's KVCache stores ({"q": [..., S, KH*D]
+    head-flattened int8, "s": [..., KH, S] head-major f32} — see the
+    KVCache docstring for why).  Single home of the layout contract for
+    out-of-cache holders (the engine's int8 prefix-cache handles)."""
+    from ..utils.quantize import quantize_kv
+
+    d = quantize_kv(x)
+    return {
+        "q": d["q"].reshape(d["q"].shape[:-2] + (-1,)),
+        "s": jnp.swapaxes(d["s"][..., 0], 2, 3),
+    }
+
+
 def cache_seed(cache: KVCache, kv: KVCache) -> KVCache:
     """Write the prefill K/V ([L, B, S0, KH, D], dense) at slot 0."""
     kn, vn = _quantize_new(cache, kv.k, kv.v)
@@ -901,12 +916,23 @@ def decode_step(
     # head dims keep the XLA ops; TP meshes keep the sliced shard_map
     # path (the full-cache operand would have to be re-gathered per
     # shard).
-    use_layered = single_device and quantized and layered_supported(Smax, Dh)
+    use_layered = (
+        single_device
+        and quantized
+        and layered_supported(Smax, Dh)
+        # like fused_ok below: the Pallas kernels compute in bf16 —
+        # fp32-activation parity runs take the XLA op instead
+        and x.dtype == jnp.bfloat16
+    )
     fused_ok = (
         not use_layered
         and (single_device or tp_sharded)
         and H_l // KH_l > 1
         and Dh % 128 == 0
+        # the int8 fused kernel computes in bf16 internally; fp32
+        # activations (bit-parity runs) must fall back to the XLA op
+        # rather than silently losing mantissa in the kernel's astype
+        and x.dtype == jnp.bfloat16
     )
     if quantized and not use_layered:
         if fused_ok:
@@ -993,7 +1019,7 @@ def decode_step(
     # layer indexing) instead of scan-sliced leaves — see _LayeredInt4.
     layers_rest, int4_stacks = (
         _split_int4_stacks(params["layers"])
-        if (single_device or FORCE_LAYERED_INT4)
+        if _layered_int4_enabled()
         else (params["layers"], {})
     )
 

@@ -309,10 +309,13 @@ def ensemble_decode_attention_int8kv_fused(
 # KH heads processed in an unrolled loop per cell: the (B, KH) grid's 512
 # tiny cells measured 440 us/layer at that shape from per-cell overhead
 # alone; one cell per row with the same math measures 218 us/layer.
-# Used by models/llama.decode_step on single-device TPU for BOTH MHA and
-# GQA (the XLA in-program chain measures 395-446 us/layer at the MHA
-# stretch shape — the "XLA wins at KH == H" note above holds only for the
-# sliced kernel's geometry).
+# models/llama.decode_step dispatches the INT8-cache layered kernel on
+# single-device TPU for both MHA and GQA (the XLA in-program chain
+# measures 395-446 us/layer at the MHA stretch shape — the "XLA wins at
+# KH == H" note above holds only for the sliced kernel's geometry).
+# The bf16 layered variant below is test-only: the 5-D dense cache would
+# retile at the kernel boundary (2 x 4.9 ms/step), so the production
+# bf16 path keeps the sliced fused kernel / XLA op.
 # ---------------------------------------------------------------------------
 
 
