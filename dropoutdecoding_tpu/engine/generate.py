@@ -897,20 +897,24 @@ class LlavaEngine:
 
     def generate(self, input_ids, pixel_values) -> GenerationResult:
         state = self.prefill(input_ids, pixel_values)
+        cur_len = state.cur_len
+        tokens, steps, _ = self._decode_d(
+            self.params, state.cache, state._replace(cache=None)
+        )
         # KV-capacity check: each of the T-1 decode steps appends one row
         # at cur_len; an overflowing write is SILENTLY dropped (dense
         # `.at[].set` out-of-bounds) or clamp-overwrites recent KV (int8
-        # Pallas row append), corrupting output with no error
-        longest = int(np.max(np.asarray(state.cur_len)))
+        # Pallas row append), corrupting output with no error.  Checked
+        # AFTER the decode dispatch: fetching cur_len between prefill and
+        # decode would serialize the pipeline on a host sync (measured
+        # -35% serving throughput when this check blocked per-submit).
+        longest = int(np.max(np.asarray(cur_len)))
         if longest + self.gen.max_new_tokens - 1 > self.max_len:
             raise ValueError(
                 f"prompt ({longest} tokens) + max_new_tokens "
                 f"({self.gen.max_new_tokens}) - 1 exceeds the KV capacity "
                 f"max_len={self.max_len}; raise max_len or lower the budget"
             )
-        tokens, steps, _ = self._decode_d(
-            self.params, state.cache, state._replace(cache=None)
-        )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         num = np.array(

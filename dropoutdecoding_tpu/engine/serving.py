@@ -95,6 +95,10 @@ class DecodeServer:
         # step for every request mix), a slot just gets harvested (and its
         # buffer truncated) once steps reach its budget
         self._budgets: List[int] = [T] * S
+        # deferred KV-capacity checks: slot -> the request's cur_len
+        # device array, verified at harvest() (fetching at submit time
+        # would serialize the async pipeline on the prefill)
+        self._cap_checks: Dict[int, Any] = {}
         # donate the decode carry (whose first element is the slot cache):
         # without it XLA copies the whole cache at EVERY step(n) dispatch
         # entry (the fori body scatters into a non-donated input); state
@@ -265,15 +269,10 @@ class DecodeServer:
             raise RuntimeError("no free slots; call step()/harvest() first")
         slot = slots[0]
         ps = self.engine.prefill(*prefill_args)
-        # same KV-capacity guard as LlavaEngine.generate: an overflowing
-        # append is silently dropped/clamped, not an error
-        longest = int(np.max(np.asarray(ps.cur_len)))
-        if longest + self.engine.gen.max_new_tokens - 1 > self.engine.max_len:
-            raise ValueError(
-                f"prompt ({longest} tokens) + max_new_tokens "
-                f"({self.engine.gen.max_new_tokens}) - 1 exceeds "
-                f"max_len={self.engine.max_len}"
-            )
+        # same KV-capacity guard as LlavaEngine.generate — but deferred
+        # to harvest(): fetching cur_len here would block the async
+        # submit pipeline on the prefill (measured -35% req/s)
+        self._cap_checks[slot] = ps.cur_len
         ps = ps._replace(uncertainty={})  # diagnostics dict stays host-side
         self._place(ps, slot, request_id)
         self._set_budget(slot, max_new_tokens)
@@ -352,9 +351,10 @@ class DecodeServer:
             self._state, self._carry, ps, jnp.asarray(used, jnp.int32)
         )
         self._carry.update(new_carry)
-        for slot, (rid, _) in zip(used, items):
+        for i, (slot, (rid, _)) in enumerate(zip(used, items)):
             self._requests[slot] = rid
             self._set_budget(slot, None)
+            self._cap_checks[slot] = ps.cur_len[i]
         return used
 
     # ------------------------------------------------------------------
@@ -423,6 +423,18 @@ class DecodeServer:
         their slots become free."""
         c = self._carry
         T = c["tokens_buf"].shape[1]
+        # deferred KV-capacity guard (see submit): by now the prefills
+        # are long done, so the fetch is free
+        for slot, cl in list(self._cap_checks.items()):
+            longest = int(np.max(np.asarray(cl)))
+            if longest + self._budgets[slot] - 1 > self.engine.max_len:
+                raise ValueError(
+                    f"slot {slot}: prompt ({longest} tokens) + budget "
+                    f"({self._budgets[slot]}) - 1 exceeds "
+                    f"max_len={self.engine.max_len} — the slot's KV "
+                    f"appends overflow the cache"
+                )
+            del self._cap_checks[slot]
         done = np.asarray(c["done"])
         steps = np.asarray(c["steps"])
         finished = {}
