@@ -71,6 +71,11 @@ def vcd_generate(
         state = engine.prefill(input_ids, pixels)
         state_cd = engine.prefill(input_ids, np.asarray(noised))
 
+    if llama_mod.cache_is_quantized(state.cache):
+        raise NotImplementedError(
+            "vcd_generate requires a dense-KV engine (int8_kv=False): the "
+            "stacked-context cache concat is dense-layout only"
+        )
     B = state.first_token.shape[0]
     T = gen.max_new_tokens
     cfg = engine.cfg
@@ -99,8 +104,7 @@ def vcd_generate(
     )
     first_token = _draw(jax.random.fold_in(k_sample, 0), _warp(first_logits))
 
-    @jax.jit
-    def loop(params, cache, cur_len, first_token):
+    def loop_impl(params, cache, cur_len, first_token, k_sample):
         tokens_buf = jnp.full((B, T), gen.pad_token_id, jnp.int32)
         tokens_buf = tokens_buf.at[:, 0].set(first_token)
         done = first_token == gen.eos_token_id
@@ -139,7 +143,17 @@ def vcd_generate(
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[4]
 
-    tokens = np.asarray(loop(engine.params, cache, state.cur_len, first_token))
+    # compiled-loop cache: a per-call @jax.jit closure would re-trace and
+    # recompile the whole decode program EVERY call (and bake the PRNG key
+    # in as a constant) — at 7B that is tens of seconds per image in the
+    # CHAIR loop.  Keyed on everything the trace depends on.
+    loops = engine.__dict__.setdefault("_vcd_loops", {})
+    lk = (B, T, gen)
+    if lk not in loops:
+        loops[lk] = jax.jit(loop_impl)
+    tokens = np.asarray(
+        loops[lk](engine.params, cache, state.cur_len, first_token, k_sample)
+    )
     eos = gen.eos_token_id
     num = np.array(
         [(np.where(r == eos)[0][0] + 1) if (r == eos).any() else len(r) for r in tokens]
@@ -202,6 +216,11 @@ def beam_generate(
     gen = engine.gen
     if state is None:
         state = engine.prefill(input_ids, pixel_values)
+    if llama_mod.cache_is_quantized(state.cache):
+        raise NotImplementedError(
+            "beam_generate requires a dense-KV engine (int8_kv=False): the "
+            "per-step beam-reorder cache gather is dense-layout only"
+        )
     nb = num_beams
     B = state.first_token.shape[0]
     T = gen.max_new_tokens
@@ -263,8 +282,7 @@ def beam_generate(
         )
         return hyp_toks, hyp_sc, hcount, sel_beam, sel_tok, sel_score
 
-    @jax.jit
-    def loop(params, cache, cur_len0):
+    def loop_impl(params, cache, cur_len0, top0, tok0):
         Smax = cache.k.shape[2]
         prompt_len = cur_len0  # [B]
         buf = jnp.full((B, nb, T), gen.pad_token_id, jnp.int32)
@@ -300,9 +318,15 @@ def beam_generate(
             cand_beam = cand_idx // V
             cand_tok = (cand_idx % V).astype(jnp.int32)
 
-            # sequence length if this candidate finished now (prompt+gen),
-            # matching HF's normalization by input_ids length
-            seq_len = (prompt_len + step + 1).astype(jnp.float32)  # [B]
+            # HF (4.57 stateless _beam_search, utils.py:3087) normalizes a
+            # finished candidate by its GENERATED length INCLUDING the eos
+            # token: cur_len + 1 - decoder_prompt_len = step + 1 here (the
+            # hyp holds `step` buffered tokens + the eos).  Round-5 fix:
+            # the prompt term used to be included, which neutralized the
+            # length penalty for long prompts and mis-ranked hypotheses
+            # of different lengths (verified empirically vs HF on the
+            # eos-mid-search test).
+            seq_len = jnp.full_like(prompt_len, step + 1).astype(jnp.float32)
 
             (n_hyp_tokens, n_hyp_scores, n_hyp_count, sel_beam, sel_tok,
              sel_score) = jax.vmap(_select)(
@@ -334,10 +358,15 @@ def beam_generate(
             if early_stopping is True:
                 search_done = n_hyp_count >= nb
             else:
+                # generated-length normalization (HF is_done divides by
+                # cur_len - decoder_prompt_len; the running beam holds
+                # step + 1 generated tokens after this step)
                 if early_stopping == "never" and length_penalty > 0.0:
-                    sl = (prompt_len + T).astype(jnp.float32)
+                    sl = jnp.full_like(prompt_len, T).astype(jnp.float32)
                 else:
-                    sl = (prompt_len + step + 1).astype(jnp.float32)
+                    sl = jnp.full_like(prompt_len, step + 1).astype(
+                        jnp.float32
+                    )
                 best_running = jnp.max(sel_score, axis=1) / sl**length_penalty
                 search_done = (n_hyp_count >= nb) & (
                     jnp.min(n_hyp_scores, axis=1) >= best_running
@@ -379,19 +408,26 @@ def beam_generate(
         carry = jax.lax.while_loop(cond, body, carry)
         (_, _, _, step, buf, scores, hyp_tokens, hyp_scores, hyp_count,
          _, fin_step) = carry
-        # finalize: if under-filled, add running beams (HF finalize) —
-        # normalized at each image's own exit length
-        seq_len = (prompt_len + fin_step).astype(jnp.float32)  # [B]
+        # finalize (HF BeamSearchScorer.finalize): running beams of
+        # NON-done images are offered to the hypothesis set, normalized
+        # by each image's own generated exit length; add uses HF's OR
+        # rule (store while slots remain OR replace the worst).  Done
+        # images are skipped, exactly as HF skips self._done batches.
+        seq_len = fin_step.astype(jnp.float32)  # [B] generated lengths
+        exit_done = carry[9]
 
-        def finalize(buf_i, scores_i, hyp_toks0, hyp_sc0, hcount0, sl):
+        def finalize(buf_i, scores_i, hyp_toks0, hyp_sc0, hcount0, sl,
+                     done_i):
             def add_running(i, st):
                 hyp_toks, hyp_sc, hcount = st
                 norm = scores_i[i] / sl**length_penalty
                 worst = jnp.argmin(hyp_sc)
-                do = (hcount < nb) & (norm > hyp_sc[worst])
+                do = (~done_i) & ((hcount < nb) | (norm > hyp_sc[worst]))
                 hyp_toks = jnp.where(do, hyp_toks.at[worst].set(buf_i[i]), hyp_toks)
                 hyp_sc = jnp.where(do, hyp_sc.at[worst].set(norm), hyp_sc)
-                hcount = jnp.where(do, hcount + 1, hcount)
+                hcount = jnp.where(
+                    do, jnp.minimum(hcount + 1, nb), hcount
+                )
                 return hyp_toks, hyp_sc, hcount
 
             hyp_toks, hyp_sc, _ = jax.lax.fori_loop(
@@ -400,10 +436,20 @@ def beam_generate(
             return hyp_toks[jnp.argmax(hyp_sc)]
 
         return jax.vmap(finalize)(
-            buf, scores, hyp_tokens, hyp_scores, hyp_count, seq_len
+            buf, scores, hyp_tokens, hyp_scores, hyp_count, seq_len,
+            exit_done,
         )
 
-    tokens = np.asarray(loop(engine.params, cache0, state.cur_len))
+    # compiled-loop cache (see vcd_generate): a per-call @jax.jit closure
+    # would recompile the whole beam program per image AND bake the
+    # prompt-expansion logits in as constants
+    loops = engine.__dict__.setdefault("_beam_loops", {})
+    lk = (B, nb, T, float(length_penalty), early_stopping, gen)
+    if lk not in loops:
+        loops[lk] = jax.jit(loop_impl)
+    tokens = np.asarray(
+        loops[lk](engine.params, cache0, state.cur_len, top0, tok0)
+    )
     num = np.array(
         [
             (np.where(r == gen.pad_token_id)[0][0])

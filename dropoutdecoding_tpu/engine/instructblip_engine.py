@@ -161,11 +161,27 @@ class InstructBlipEngine(LlavaEngine):
 
     def generate(self, input_ids, pixel_values, qformer_input_ids=None):
         if qformer_input_ids is None:
-            qformer_input_ids = input_ids
+            # the Q-Former uses the BERT vocabulary (30522), the LM a
+            # 32k one: silently reusing LM ids would clamp out-of-range
+            # ids into garbage BERT embeddings with no error
+            raise ValueError(
+                "qformer_input_ids is required (BERT-tokenized "
+                "instruction from the InstructBLIP processor); LM "
+                "input_ids are from a different vocabulary"
+            )
         state = self.prefill(input_ids, pixel_values, qformer_input_ids)
+        cur_len = state.cur_len
         tokens, steps, _ = self._decode_d(
             self.params, state.cache, state._replace(cache=None)
         )
+        # KV-capacity guard, post-dispatch (see LlavaEngine.generate)
+        longest = int(np.max(np.asarray(cur_len)))
+        if longest + self.gen.max_new_tokens - 1 > self.max_len:
+            raise ValueError(
+                f"prompt ({longest} tokens) + max_new_tokens "
+                f"({self.gen.max_new_tokens}) - 1 exceeds max_len="
+                f"{self.max_len}"
+            )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         from .generate import GenerationResult

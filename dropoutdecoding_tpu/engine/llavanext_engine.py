@@ -252,16 +252,11 @@ class LlavaNextEngine(LlavaEngine):
             self._image_positions(prefix_ids),
         )
         if self.int8_prefix_cache:
-            from ..utils.quantize import quantize_kv
-
-            def q(x):
-                d = quantize_kv(x)
-                return {
-                    "q": d["q"].reshape(d["q"].shape[:-2] + (-1,)),
-                    "s": jnp.swapaxes(d["s"][..., 0], 2, 3),
-                }
-
-            kv = llama_mod.KVCache(q(kv.k), q(kv.v))
+            # layout contract lives in models/llama (KVCache docstring)
+            kv = llama_mod.KVCache(
+                llama_mod.kv_int8_reader_layout(kv.k),
+                llama_mod.kv_int8_reader_layout(kv.v),
+            )
         return kv, plen, kmask
 
     def probe_extend(self, prefix, tail_ids, text_lens=None):
@@ -388,9 +383,19 @@ class LlavaNextEngine(LlavaEngine):
 
     def generate(self, input_ids, tile_pixels, original_size):
         state = self.prefill(input_ids, tile_pixels, original_size)
+        cur_len = state.cur_len
         tokens, steps, _ = self._decode_d(
             self.params, state.cache, state._replace(cache=None)
         )
+        # KV-capacity guard, post-dispatch (see LlavaEngine.generate) —
+        # the ~2.9k-token anyres prompt is the overflow-prone case
+        longest = int(np.max(np.asarray(cur_len)))
+        if longest + self.gen.max_new_tokens - 1 > self.max_len:
+            raise ValueError(
+                f"prompt ({longest} tokens) + max_new_tokens "
+                f"({self.gen.max_new_tokens}) - 1 exceeds max_len="
+                f"{self.max_len}"
+            )
         tokens = np.asarray(tokens)
         eos = self.gen.eos_token_id
         num = np.array(

@@ -86,6 +86,16 @@ class SpeculativeGreedy:
             raise ValueError(f"draft must be 'lm' or 'ngram': {self.draft}")
         if self.draft == "lm" and self.draft_lm is None:
             raise ValueError("draft='lm' needs a draft_lm tower")
+        if self.draft == "lm" and type(self.engine).__name__ != "LlavaEngine":
+            # _draft_prefill shares the base engine's merged-embedding
+            # signature; the NeXT/InstructBLIP prefill pipelines
+            # preprocess their host args before _merge_embeds_impl, so
+            # the raw *rest forward would TypeError mid-trace.  The
+            # ngram draft (no draft prefill) works for every family.
+            raise NotImplementedError(
+                "draft='lm' is implemented for LlavaEngine; use "
+                "draft='ngram' for LLaVA-NeXT / InstructBLIP engines"
+            )
         if self.draft == "lm":
             self._cycle = jax.jit(self._cycle_impl, donate_argnums=(2, 3))
             self._draft_prefill = jax.jit(self._draft_prefill_impl)
@@ -373,6 +383,11 @@ class SpeculativeGreedy:
         `generate`; this is the deployment path."""
         eng = self.engine
         state = eng.prefill(input_ids, *rest)
+        if state.first_token.shape[0] != 1:
+            # cycle math is single-stream: block writes land at row 0's
+            # cur_len and drafts read row 0 only — a B>1 state would be
+            # silently corrupted, not batched
+            raise ValueError("speculative decoding runs one image per call")
         self._check_headroom(state)
         first = int(np.asarray(state.first_token)[0])
         T = eng.gen.max_new_tokens
@@ -422,6 +437,8 @@ class SpeculativeGreedy:
         bench's alpha report."""
         eng = self.engine
         state = eng.prefill(input_ids, *rest)
+        if state.first_token.shape[0] != 1:
+            raise ValueError("speculative decoding runs one image per call")
         self._check_headroom(state)
         ngram = self.draft == "ngram"
         if not ngram:

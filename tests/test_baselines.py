@@ -88,6 +88,45 @@ def test_beam_length_penalty_and_early_stopping_match_hf(tiny_llava):
         beam_generate(eng, input_ids, pixels, num_beams=3, early_stopping="bogus")
 
 
+def test_beam_eos_hypotheses_mid_search_match_hf(tiny_llava):
+    """EOS candidates stored MID-search exercise the generated-length
+    normalization and finalize's OR-with-replacement (round-5 fix: the
+    prompt length used to be included in every normalization divisor,
+    which neutralized the length penalty and diverged from HF whenever
+    stored hypotheses and running beams had different lengths).  The eos
+    id is a token the model actually emits mid-caption, so hypotheses
+    ARE stored before the search ends."""
+    model, cfg, params, input_ids, expanded_ids, pixels = tiny_llava
+    g = _engine(cfg, params).generate(input_ids, pixels).tokens[0]
+    eos = int(g[2])  # mid-caption greedy token => reachable eos
+    for lp, es in [(1.0, False), (2.0, False), (0.5, True)]:
+        with torch.no_grad():
+            ref = model.generate(
+                input_ids=torch.from_numpy(expanded_ids),
+                pixel_values=torch.from_numpy(pixels),
+                attention_mask=torch.ones_like(torch.from_numpy(expanded_ids)),
+                max_new_tokens=8,
+                num_beams=3,
+                do_sample=False,
+                length_penalty=lp,
+                early_stopping=es,
+                eos_token_id=eos,
+            )
+        ref_new = ref[0, expanded_ids.shape[1]:].numpy()
+        eng = _engine(
+            cfg, params,
+            gen=GenerationConfig(
+                max_new_tokens=8, eos_token_id=eos, pad_token_id=2
+            ),
+        )
+        out = beam_generate(
+            eng, input_ids, pixels, num_beams=3,
+            length_penalty=lp, early_stopping=es,
+        )
+        n = min(len(ref_new), out.num_tokens[0])
+        np.testing.assert_array_equal(out.tokens[0, :n], ref_new[:n])
+
+
 def test_beam_accepts_prebuilt_state(tiny_llava):
     """State-based API used by the InstructBLIP / LLaVA-NeXT beam paths."""
     _, cfg, params, input_ids, _, pixels = tiny_llava
